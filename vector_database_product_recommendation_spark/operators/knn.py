@@ -1,0 +1,193 @@
+"""Exact KNN as a broadcast scored join — the engine's central kernel.
+
+Reference semantics (SURVEY.md sections 2.3 J4, 2.5 K1-K3, 3 E1/E2):
+score = inner product of a query vector against every corpus vector
+(app.py:181,199,234 — NumPy `emb @ qv`; app.py:394 — FAISS IndexFlatIP),
+then top-k by score with self-exclusion for item-to-item (app.py:227-228).
+
+Spark-first physical shape (SURVEY.md section 4, "100-TB-safe"):
+- the CORPUS NEVER SHUFFLES. Queries are a small batch by construction
+  (the reference's widest workload is 400 query vectors); we collect them
+  to the driver and ship them to every task via closure broadcast.
+- scoring is a NumPy matmul inside mapInPandas (Arrow batches -> BLAS),
+  the distributed analog of the reference's `emb @ qv` hot loop.
+- each task emits only its LOCAL top-k per query (k rows per query per
+  Arrow batch), so the single shuffle that remains — the per-query global
+  top-k window — moves O(q * k * n_batches) rows, not O(q * N).
+- ties break by (score desc, neighbor id asc) with scores rounded in
+  float64 BEFORE selection, so results are deterministic and engine-
+  independent (FIXTURES.md oracle notes).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from vector_database_product_recommendation_spark.functions.vectors import dot
+
+
+def _collect_queries(
+    queries: DataFrame, query_id: str, query_vec: str
+) -> tuple[np.ndarray, np.ndarray]:
+    """Driver-side gather of the query batch (small by contract)."""
+    rows = queries.select(query_id, query_vec).collect()
+    if not rows:
+        raise ValueError("empty query batch")
+    ids = np.array([r[0] for r in rows])
+    mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    return ids, mat
+
+
+def exact_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    exclude_self: bool = False,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Batch exact KNN: for every query row, the top-k corpus rows by dot.
+
+    Returns (query_id, neighbor_id, score, rank), rank 1..k per query.
+    `exclude_self` drops corpus rows whose id equals the query id — the
+    reference's item-to-item self-exclusion (app.py:227-228) done as a
+    filter BEFORE the limit (SURVEY.md section 2.9.4), not a k+1 overfetch.
+    """
+    spark = corpus.sparkSession
+    q_ids, q_mat = _collect_queries(queries, query_id, query_vec)
+
+    qid_dtype = queries.schema[query_id].dataType.simpleString()
+    nid_dtype = corpus.schema[corpus_id].dataType.simpleString()
+    out_schema = (
+        f"query_id {qid_dtype}, neighbor_id {nid_dtype}, score double"
+    )
+    k_local = k
+    excl = exclude_self
+    dec = round_decimals
+
+    def score_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qm = q_mat.T  # (d, q)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cmat = np.stack(pdf[corpus_vec].to_numpy()).astype(np.float64)  # (n, d)
+            ids = pdf[corpus_id].to_numpy()
+            scores = np.round(cmat @ qm, dec)  # (n, q) float64, rounded pre-selection
+            n = len(ids)
+            kk = min(k_local, n)
+            out_q, out_n, out_s = [], [], []
+            for j in range(q_mat.shape[0]):
+                s = scores[:, j]
+                mask = np.ones(n, dtype=bool)
+                if excl:
+                    mask = ids != q_ids[j]
+                idx = np.nonzero(mask)[0]
+                if idx.size == 0:
+                    continue
+                # deterministic local top-k: (-score, neighbor_id)
+                order = np.lexsort((ids[idx], -s[idx]))[:kk]
+                sel = idx[order]
+                out_q.extend([q_ids[j]] * len(sel))
+                out_n.extend(ids[sel])
+                out_s.extend(s[sel])
+            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "score": out_s})
+
+    partial = corpus.select(corpus_id, corpus_vec).mapInPandas(score_partition, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def exact_knn_expr(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    exclude_self: bool = False,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Pure-expression variant: crossJoin(broadcast(queries)) + zip_with dot.
+
+    Same semantics as exact_knn; stays entirely JVM-side (no Python worker)
+    but shuffles O(q*N) scored rows into the top-k window — use for small
+    query batches / cross-validation of the fast kernel, not the 100-TB path.
+    """
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
+    )
+    joined = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cv")
+    ).crossJoin(F.broadcast(q))
+    if exclude_self:
+        joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = joined.select(
+        "query_id",
+        "neighbor_id",
+        F.round(dot("__cv", "__qv"), round_decimals).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def item_to_item(
+    corpus: DataFrame,
+    item_id,
+    k: int,
+    *,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """E2 (app.py:221-241): the query vector comes FROM the corpus —
+    look up the item's vector, score everyone else, top-k, never return
+    the item itself."""
+    q = corpus.filter(F.col(corpus_id) == F.lit(item_id)).select(
+        F.col(corpus_id).alias("query_id"), F.col(corpus_vec).alias("query_vec")
+    )
+    return exact_knn(
+        corpus,
+        q,
+        k,
+        corpus_id=corpus_id,
+        corpus_vec=corpus_vec,
+        exclude_self=True,
+    )
+
+
+def pairwise_similarity(
+    items: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_decimals: int = 6,
+) -> DataFrame:
+    """J5 (app.py:348-354): similarity matrix for a small selected set
+    (reference allows 2-4 products). Long form (id_a, id_b, score) including
+    the diagonal, a < b ordering not applied so the square matrix can be
+    pivoted client-side exactly like `V @ V.T`."""
+    a = items.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = items.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        a.crossJoin(F.broadcast(b))
+        .select("id_a", "id_b", F.round(dot("__va", "__vb"), round_decimals).alias("score"))
+        .orderBy("id_a", "id_b")
+    )

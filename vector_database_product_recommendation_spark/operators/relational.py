@@ -1,0 +1,154 @@
+"""Relational query shapes: the reference's filter/aggregate/top-k skeleton.
+
+The reference's "two-stage retrieval" (SURVEY.md section 3 E1) is:
+  stage 1 — conjunctive metadata filter (app.py:156-164, P1-P4)
+  stage 2 — score + top-k       (app.py:181-188, K1)
+Here those shapes are expressed over the synthetic star schema so Catalyst
+does the classic work (predicate pushdown into the parquet scan, column
+pruning, partial aggregation, TakeOrderedAndProject for top-k).
+
+Scale notes (100 TB):
+- filters/projections are plain Column expressions -> pushed to the scan;
+  `.explain()` shows PushedFilters on every query here.
+- top-k is `orderBy().limit(k)` -> TakeOrderedAndProject (per-partition heap
+  + driver merge of k rows/partition), never a full sort.
+- group-bys are hash aggregates with map-side partial aggregation; the only
+  shuffle is on the (low-cardinality) group key.
+- joins on the big fact tables shuffle on the join key; AQE handles skew.
+  Bounded dims (region/nation) would be broadcast automatically under the
+  10 MB threshold at any scale factor.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from vector_database_product_recommendation_spark.sources.tables import load_table
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy group-by over lineitem.
+
+    One shuffle on (returnflag, linestatus) — 6 groups; everything else is
+    map-side partial agg inside whole-stage codegen.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+            ).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + group-by + top-10.
+
+    customer(filtered) ⋈ orders(filtered) ⋈ lineitem(filtered), revenue agg,
+    TakeOrderedAndProject(10). Filters are pushed to each scan before the
+    joins; AQE picks broadcast for the customer side when it fits.
+    """
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def two_stage_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: the reference's two-stage retrieval on plain columns.
+
+    Stage 1 (filter, P1-P4 app.py:156-164): conjunctive predicates over the
+    "catalog" (part joined with per-part aggregates), with the reference's
+    null-defaulted range predicates via coalesce.
+    Stage 2 (score + top-k, K1 app.py:181-188): score survivors and take
+    top-k with deterministic tie-breaking.
+
+    The per-part aggregate plays the role of `products` (n_reviews/avg_rating
+    -> n_orders/avg_price); the filter-before-score ordering is the
+    predicate-pushdown the reference hand-implements.
+    """
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    stats = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.avg("l_quantity").alias("avg_qty"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+    )
+    catalog = part.join(stats, part.p_partkey == stats.l_partkey, "left")
+    filtered = catalog.filter(
+        (F.lower(F.col("p_brand")) == F.lower(F.lit("Brand#3")))
+        & (F.coalesce(F.col("avg_qty"), F.lit(-1.0)) >= 10.0)
+        & (F.coalesce(F.col("n_lines"), F.lit(0)) >= 5)
+    )
+    return (
+        filtered.select(
+            "p_partkey", "p_name", "p_brand", "p_size", "n_lines", "avg_qty", "revenue"
+        )
+        .orderBy(F.desc("revenue"), F.asc("p_partkey"))
+        .limit(20)
+    )
+
+
+def brand_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct + sort over a normalized string (P6/P7, app.py:138):
+    the dropdown-domain query — lower/fillna/distinct/orderBy."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.select(F.lower(F.coalesce(F.col("p_brand"), F.lit("unknown"))).alias("brand"))
+        .distinct()
+        .orderBy("brand")
+    )
+
+
+def minmax_rescale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global min-max rescale (A-g5 + F3, app.py:206-208):
+    (x - min) / (max - min + 1e-12) over all rows.
+
+    Implemented as a scalar-aggregate cross join (two-row-ish broadcast),
+    NOT a Window over an empty partitioning — an unpartitioned window pulls
+    every row into one task, which dies at scale; agg+crossJoin(broadcast)
+    keeps the scan fully parallel.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+    )
+    return (
+        orders.crossJoin(F.broadcast(bounds))
+        .select(
+            "o_orderkey",
+            F.round(
+                (F.col("o_totalprice") - F.col("mn")) / (F.col("mx") - F.col("mn") + F.lit(1e-12)),
+                6,
+            ).alias("price_scaled"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -1,0 +1,49 @@
+"""Parquet sources for the synthetic star schema + document/embedding corpora.
+
+Mirrors the reference's sources (SURVEY.md section 2.1, S1-S4): the reference
+loads CSV tables + dense .npy matrices aligned by row position; here every
+table is columnar Parquet and the embedding matrix is a first-class table
+with an explicit key (``vec_id``) — the positional-identity fix required by
+Spark's lack of a stable implicit row order (SURVEY.md section 1.5).
+
+Scale notes: parquet scans get predicate pushdown + column pruning from
+Catalyst for free as long as callers express filters/projections on the
+DataFrame before any UDF barrier. Never collect these tables; embeddings are
+only ever collected when they are a *query batch* (small by construction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one synthetic table. ``name`` must be in TABLES."""
+    if name not in TABLES:
+        raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Read several tables at once; defaults to all of them."""
+    use = names or TABLES
+    return {n: load_table(spark, sf_dir, n) for n in use}
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register temp views so spark.sql(...) can address the tables by name."""
+    for n, df in load_tables(spark, sf_dir, *names).items():
+        df.createOrReplaceTempView(n)
