@@ -1,0 +1,82 @@
+"""Benchmark harness (driver contract).
+
+Runs the engine's headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints exactly ONE
+JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Timing policy: per query, wall-clock around a full materialization
+(count of the result DataFrame — forces every exchange/UDF; avoids
+driver-side row shipping skewing the number). One warm-up run of the
+cheapest query amortizes JVM/session startup out of the per-query numbers
+(session startup is reported separately in "startup_sec").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _sf_of(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    from vector_database_product_recommendation_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    t0 = time.time()
+    spark = get_spark("vdb-rec-bench")
+    spark.range(1).count()  # force JVM + session init
+    startup = time.time() - t0
+
+    qmap = entrymod.queries()
+    timings: dict[str, float] = {}
+
+    # Warm-up: touch the parquet footers / fill the code cache once.
+    try:
+        next(iter(qmap.values()))(spark, SF_DIR).count()
+    except Exception:
+        pass
+
+    for name, fn in qmap.items():
+        t = time.time()
+        try:
+            fn(spark, SF_DIR).count()
+            timings[name] = round(time.time() - t, 4)
+        except Exception as e:  # a broken query should not sink the bench
+            timings[name] = -1.0
+            print(f"# bench error in {name}: {e}", file=sys.stderr)
+
+    total = round(sum(v for v in timings.values() if v >= 0), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_of(SF_DIR),
+                "startup_sec": round(startup, 2),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
