@@ -1,0 +1,146 @@
+"""Unit + metamorphic tests for text analysis and dedup operators.
+
+The cross-engine value checks live in the driver oracle (tools/
+oracle_check.py); these tests pin the *semantics* on hand-built rows where
+the right answer is obvious.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from vector_database_product_recommendation_spark.functions.text import (
+    doc_fingerprint,
+    hash60,
+    lang_id,
+    quality_score,
+    token_count_regex,
+    token_count_ws,
+    word_shingles,
+)
+from vector_database_product_recommendation_spark.operators.dedup import (
+    embedding_near_dup,
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    simhash_signatures,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_token_counts(spark):
+    df = _docs(spark, [(1, "Hello,  world! x"), (2, ""), (3, "   ")])
+    out = {
+        r["doc_id"]: (r["ws"], r["re"])
+        for r in df.select(
+            "doc_id",
+            token_count_ws("text").alias("ws"),
+            token_count_regex("text").alias("re"),
+        ).collect()
+    }
+    # "hello," "world!" "x" -> 3 ws tokens; regex: hello , world ! x -> 5
+    assert out[1] == (3, 5)
+    assert out[2] == (0, 0)
+    assert out[3] == (0, 0)
+
+
+def test_lang_id_markers(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "the cat and the dog of it"),
+            (2, "der hund und die katze ist"),
+            (3, "le chat et la maison est"),
+            (4, "xyzzy qwerty"),
+        ],
+    )
+    out = {r["doc_id"]: r["l"] for r in df.select("doc_id", lang_id("text").alias("l")).collect()}
+    assert out[1] == "en"
+    assert out[2] == "de"
+    assert out[3] == "fr"
+    assert out[4] == "und"
+
+
+def test_fingerprint_order_invariant(spark):
+    df = _docs(spark, [(1, "b a c a"), (2, "a b c"), (3, "a b d")])
+    out = {r["doc_id"]: r["f"] for r in df.select("doc_id", doc_fingerprint("text").alias("f")).collect()}
+    assert out[1] == out[2]  # same distinct token set
+    assert out[1] != out[3]
+
+
+def test_quality_score_range(spark):
+    df = _docs(spark, [(1, "the quick brown fox jumps over a lazy dog today ok"), (2, "x")])
+    out = {r["doc_id"]: r["q"] for r in df.select("doc_id", quality_score("text").alias("q")).collect()}
+    assert out[1] == 1.0
+    assert 0.0 <= out[2] < 1.0
+
+
+def test_word_shingles_short_doc(spark):
+    df = _docs(spark, [(1, "a b"), (2, "a b c d")])
+    out = {r["doc_id"]: sorted(r["s"]) for r in df.select("doc_id", word_shingles("text").alias("s")).collect()}
+    assert out[1] == ["a b"]  # shorter than n -> whole text
+    assert out[2] == ["a b c", "b c d"]
+
+
+def test_hash60_positive_and_stable(spark):
+    rows = spark.range(1).select(hash60(F.lit("7|foo bar baz")).alias("h")).collect()
+    assert rows[0]["h"] == 46699026325707782  # cross-checked against DuckDB
+
+
+def test_exact_dedup_groups(spark):
+    df = _docs(spark, [(1, "same text"), (2, "same text"), (3, "other")])
+    out = {r["keep_id"]: r["n_copies"] for r in exact_dedup_groups(df).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_near_dup_family_finds_planted_pair(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    rows = [
+        (1, base),
+        (2, base + "lambda"),  # near-dup of 1
+        (3, "totally different words entirely unrelated content here now"),
+    ]
+    df = _docs(spark, rows)
+    jac = ngram_jaccard_pairs(df, threshold=0.5)
+    assert [(r["id_a"], r["id_b"]) for r in jac.collect()] == [(1, 2)]
+    lsh = minhash_lsh_pairs(df, threshold=0.5)
+    assert [(r["id_a"], r["id_b"]) for r in lsh.collect()] == [(1, 2)]
+
+
+def test_simhash_pairs_identical_docs_blocked_join(spark):
+    # identical docs -> hamming 0, must be found through the chunk blocking;
+    # an unrelated doc must not pair up. (A one-token edit on a short doc
+    # legitimately flips ~5-8 of 60 bits, so near-dup recall at small
+    # max_hamming is only meaningful on longer documents — covered by the
+    # sf0.01 oracle check with its planted near-dups.)
+    df = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (3, "totally different words entirely unrelated content here now"),
+        ],
+    )
+    out = [(r["id_a"], r["id_b"], r["hamming"]) for r in simhash_pairs(df, max_hamming=3).collect()]
+    assert out == [(1, 2, 0)]
+
+
+def test_simhash_identical_docs_same_sig(spark):
+    df = _docs(spark, [(1, "a b c d e"), (2, "a b c d e"), (3, "q r s t u")])
+    out = {r["doc_id"]: r["simhash"] for r in simhash_signatures(df).collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+    assert all(0 <= v < (1 << 60) for v in out.values())
+
+
+def test_embedding_near_dup(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = embedding_near_dup(emb, threshold=0.99).collect()
+    assert [(r["id_a"], r["id_b"], r["score"]) for r in out] == [(1, 2, 1.0)]

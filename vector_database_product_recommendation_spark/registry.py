@@ -231,3 +231,288 @@ FROM n ORDER BY label, pos
 def _centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return group_centroids_long(emb, "label")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (training-data pipeline: lang-id, quality, tokens, fingerprint)
+# ---------------------------------------------------------------------------
+
+from vector_database_product_recommendation_spark.functions.text import (  # noqa: E402
+    LANG_MARKERS,
+    STOPWORDS_EN,
+    doc_fingerprint,
+    lang_id,
+    mean_token_len,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count_regex,
+    token_count_ws,
+)
+from vector_database_product_recommendation_spark.operators import dedup as D  # noqa: E402
+
+# Shared DuckDB fragments — must mirror functions/text.py exactly:
+# tokens = lowercased whitespace split, zero-length dropped; shingles =
+# distinct word 3-grams (short docs -> one whole-text shingle); hash60 =
+# first 60 bits of md5 as a positive BIGINT (= Spark conv(substr(md5,1,15),16,10)).
+_TOKS_SQL = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0)"
+
+
+def _h60(expr: str) -> str:
+    return f"('0x'||substr(md5({expr}),1,15))::BIGINT"
+
+
+_SHINGLES_CTE = f"""
+t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+s AS (SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            FOR i IN range(1, greatest(len(toks)-2,1)+1)]) AS shingles
+      FROM t WHERE len(toks) > 0)
+"""
+
+_SW_LIST = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+
+_PROFILE_ORACLE = f"""
+WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents),
+p AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS n_tokens_re,
+         CASE WHEN len(toks) > 0
+              THEN list_sum(list_transform(toks, x -> len(x)))::DOUBLE / len(toks)
+              ELSE 0.0 END AS mtl,
+         CASE WHEN len(toks) > 0
+              THEN len(list_filter(toks, x -> list_contains([{_SW_LIST}], x)))::DOUBLE / len(toks)
+              ELSE 0.0 END AS swr,
+         len(regexp_replace(lower(text), '\\s', '', 'g')) AS n_ch,
+         len(regexp_replace(regexp_replace(lower(text), '\\s', '', 'g'), '[^a-z0-9]', '', 'g')) AS n_al
+  FROM t
+),
+q AS (
+  SELECT doc_id, n_tokens, n_tokens_re, mtl, swr,
+         CASE WHEN n_ch > 0 THEN (n_ch - n_al)::DOUBLE / n_ch ELSE 0.0 END AS pr
+  FROM p
+)
+SELECT doc_id, n_tokens, n_tokens_re,
+       round(mtl, 6) AS mean_tok_len,
+       round(swr, 6) AS stopword_ratio,
+       round(pr, 6) AS punct_ratio,
+       round(CAST(CASE WHEN n_tokens BETWEEN 5 AND 2000 THEN 0.25 ELSE 0.0 END
+                + CASE WHEN mtl BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END
+                + CASE WHEN swr >= 0.01 THEN 0.25 ELSE 0.0 END
+                + CASE WHEN pr <= 0.3 THEN 0.25 ELSE 0.0 END AS DOUBLE), 6) AS quality
+FROM q ORDER BY doc_id
+"""
+
+
+@register("doc_text_profile", _PROFILE_ORACLE)
+def _doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count_ws("text").alias("n_tokens"),
+        token_count_regex("text").alias("n_tokens_re"),
+        F.round(mean_token_len("text"), 6).alias("mean_tok_len"),
+        F.round(stopword_ratio("text"), 6).alias("stopword_ratio"),
+        F.round(punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(quality_score("text"), 6).alias("quality"),
+    ).orderBy("doc_id")
+
+
+def _lang_scores_sql() -> tuple[str, str]:
+    cols, names = [], []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        lst = ", ".join(f"'{m}'" for m in markers)
+        cols.append(
+            f"len(list_filter(toks, x -> list_contains([{lst}], x))) AS s_{lang}"
+        )
+        names.append(f"s_{lang}")
+    return ",\n         ".join(cols), names
+
+
+_LANG_COLS, _LANG_NAMES = _lang_scores_sql()
+# CASE chain == the left fold in functions.text.lang_id (earlier lang wins ties)
+_LANG_CASE = (
+    "CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de' "
+    "WHEN s_en >= s_es AND s_en >= s_fr THEN 'en' "
+    "WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END"
+)
+
+_LANG_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+sc AS (
+  SELECT doc_id,
+         {_LANG_COLS}
+  FROM t
+)
+SELECT doc_id,
+       CASE WHEN greatest({", ".join(_LANG_NAMES)}) > 0 THEN {_LANG_CASE}
+            ELSE 'und' END AS lang_pred
+FROM sc ORDER BY doc_id
+"""
+
+
+@register("lang_id_pred", _LANG_ORACLE)
+def _lang_id_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id("text").alias("lang_pred")).orderBy("doc_id")
+
+
+_FPRINT_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint
+FROM t ORDER BY doc_id
+"""
+
+
+@register("doc_fingerprint", _FPRINT_ORACLE)
+def _doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", doc_fingerprint("text").alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Deduplication (exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding cosine)
+# ---------------------------------------------------------------------------
+
+_EXACT_DEDUP_ORACLE = """
+SELECT md5(text) AS text_hash,
+       count(*) AS n_copies,
+       min(doc_id) AS keep_id
+FROM documents GROUP BY md5(text) ORDER BY keep_id
+"""
+
+
+@register("dedup_exact", _EXACT_DEDUP_ORACLE)
+def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup_groups(load_table(spark, sf_dir, "documents"))
+
+
+_NGRAM_JACCARD_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM s),
+cold AS (SELECT shingle FROM ex GROUP BY shingle HAVING count(*) <= 100),
+ex2 AS (SELECT ex.* FROM ex JOIN cold USING (shingle)),
+sz AS (SELECT doc_id, count(*) AS sz FROM ex2 GROUP BY doc_id),
+common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+           FROM ex2 a JOIN ex2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(common::DOUBLE / (sa.sz + sb.sz - common), 6) AS jaccard
+FROM common JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+WHERE round(common::DOUBLE / (sa.sz + sb.sz - common), 6) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+@register("dedup_ngram_jaccard", _NGRAM_JACCARD_ORACLE)
+def _dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.5, max_df=100
+    )
+
+
+_MINHASH_SIG_ORACLE = f"""
+WITH {_SHINGLES_CTE}
+SELECT doc_id, t2.seed,
+       list_min(list_transform(shingles,
+                sh -> {_h60("t2.seed::VARCHAR||'|'||sh")})) AS minhash
+FROM s CROSS JOIN range(0, 32) t2(seed)
+ORDER BY doc_id, t2.seed
+"""
+
+
+@register("minhash_signatures", _MINHASH_SIG_ORACLE)
+def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+_MINHASH_LSH_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+mh AS (SELECT doc_id, shingles,
+              list_transform(range(0, 32),
+                sd -> list_min(list_transform(shingles,
+                       sh -> {_h60("sd::VARCHAR||'|'||sh")}))) AS mh
+       FROM s),
+banded AS (SELECT doc_id, j AS band,
+                  md5(array_to_string(mh[j*4+1 : j*4+4], ',')) AS sig
+           FROM mh CROSS JOIN range(0, 8) t2(j)),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM banded a JOIN banded b
+           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+verified AS (
+  SELECT id_a, id_b,
+         len(list_intersect(ma.shingles, mb.shingles)) AS common,
+         len(ma.shingles) AS sz_a, len(mb.shingles) AS sz_b
+  FROM cand JOIN mh ma ON ma.doc_id = id_a JOIN mh mb ON mb.doc_id = id_b)
+SELECT id_a, id_b,
+       round(common::DOUBLE / (sz_a + sz_b - common), 6) AS jaccard
+FROM verified
+WHERE round(common::DOUBLE / (sz_a + sz_b - common), 6) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+@register("dedup_minhash_lsh", _MINHASH_LSH_ORACLE)
+def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
+
+
+_SIMHASH_CTE = f"""
+t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+h AS (SELECT doc_id, list_transform(toks, tk -> {_h60("tk")}) AS hs
+      FROM t WHERE len(toks) > 0),
+v AS (SELECT doc_id,
+             list_transform(range(0, 60),
+               b -> list_sum(list_transform(hs,
+                      hh -> CASE WHEN (hh >> b) & 1 = 1 THEN 1 ELSE -1 END))) AS votes
+      FROM h),
+sig AS (SELECT doc_id,
+               list_sum(list_transform(range(0, 60),
+                 b -> CASE WHEN votes[b+1] > 0 THEN (1::BIGINT << b)
+                           ELSE 0 END))::BIGINT AS simhash
+        FROM v)
+"""
+
+_SIMHASH_SIG_ORACLE = f"WITH {_SIMHASH_CTE} SELECT doc_id, simhash FROM sig ORDER BY doc_id"
+
+
+@register("simhash_signatures", _SIMHASH_SIG_ORACLE)
+def _simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+_SIMHASH_PAIRS_ORACLE = f"""
+WITH {_SIMHASH_CTE},
+blocked AS (SELECT doc_id, simhash, c AS chunk_idx,
+                   (simhash >> (15*c)) & 32767 AS chunk
+            FROM sig CROSS JOIN range(0, 4) t2(c)),
+pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                 bit_count(xor(a.simhash, b.simhash)) AS hamming
+          FROM blocked a JOIN blocked b
+            ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
+               AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3 ORDER BY id_a, id_b
+"""
+
+
+@register("dedup_simhash", _SIMHASH_PAIRS_ORACLE)
+def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
+
+
+_EMB_NEAR_DUP_ORACLE = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS score
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
+ORDER BY id_a, id_b
+"""
+
+
+@register("dedup_embedding_cosine", _EMB_NEAR_DUP_ORACLE)
+def _dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.embedding_near_dup(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
