@@ -1,0 +1,219 @@
+"""TF-IDF + sparse cosine + hybrid blend as pure DataFrame programs.
+
+The reference's model (SURVEY.md section 1.4, params [verified] from the
+joblib pickle): sklearn TfidfVectorizer with token_pattern
+``(?u)\\b\\w\\w+\\b``, english stop words, smooth_idf, l2 norm. Scoring
+(section 2.6 F2-F4, app.py:202-210): sparse cosine of the query against
+the WHOLE corpus, min-max rescale of the TF-IDF score over the candidate
+set, then ``alpha*dense + (1-alpha)*tfidf_scaled`` (the dense side stays
+raw — an asymmetry the reference ships, replicated per SURVEY 2.9.3).
+
+Representation: the long sparse form (doc_id, term, weight) — the exploded
+(term, weight) join is the Spark-native sparse dot product, shuffles only
+on `term`, and doubles as the DuckDB oracle form (SURVEY 7 hard-part v).
+
+sklearn parity notes:
+- smooth idf: ln((1+n)/(1+df)) + 1
+- tf is the raw count (sublinear_tf=False), l2-normalized per doc AFTER
+  tf*idf
+- stop-word list is a parameter; the engine default is our 20-word list,
+  not sklearn's 318 (vocabulary choice, not an algorithm difference).
+
+Scale notes: tf/df/norm are all hash aggregates with map-side combine; the
+scored join broadcasts the query's terms (a query has O(10) terms). The
+only full-corpus shuffles key on `term` and `doc_id`, both fine-grained.
+The df table doubles as the vocabulary pruner (max_features) via top-k on
+df — omitted here because the synthetic vocab is far below 20000.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from vector_database_product_recommendation_spark.functions.text import STOPWORDS_EN
+
+# sklearn's (?u)\b\w\w+\b — runs of >=2 word chars (ASCII corpus).
+TOKEN_PATTERN = r"\w\w+"
+
+
+def _doc_terms(docs: DataFrame, id_col: str, text_col: str, stopwords) -> DataFrame:
+    """(doc_id, term) one row per token occurrence, stop words removed."""
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_PATTERN), F.lit(0))
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(toks).alias("term")
+    ).filter(~F.array_contains(sw, F.col("term")))
+
+
+def tfidf_weights(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stopwords: tuple[str, ...] = STOPWORDS_EN,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """l2-normalized smooth-idf TF-IDF, long sparse form
+    (doc_id, term, weight)."""
+    terms = _doc_terms(docs, id_col, text_col, stopwords)
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    raw = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf").cast("double")
+                * (F.log((1 + F.col("n")) / (1 + F.col("df"))) + F.lit(1.0))
+            ).alias("w"),
+        )
+    )
+    norms = raw.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    return (
+        raw.join(norms, "doc_id")
+        .select(
+            "doc_id",
+            "term",
+            F.round(F.col("w") / F.col("nrm"), round_decimals).alias("weight"),
+        )
+        .orderBy("doc_id", "term")
+    )
+
+
+def query_tfidf(
+    query_text: str,
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stopwords: tuple[str, ...] = STOPWORDS_EN,
+) -> DataFrame:
+    """Transform one query string with the corpus-fitted idf -> (term, qw).
+
+    Unseen terms drop out (sklearn transform does the same: they're outside
+    the fitted vocabulary). The result is tiny and meant to be broadcast.
+    """
+    spark = docs.sparkSession
+    q = spark.createDataFrame([(0, query_text)], f"{id_col} long, {text_col} string")
+    q_terms = _doc_terms(q, id_col, text_col, stopwords)
+    q_tf = q_terms.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+
+    tf = _doc_terms(docs, id_col, text_col, stopwords).groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    raw = (
+        q_tf.join(dfreq, "term")  # inner join = drop out-of-vocabulary terms
+        .crossJoin(F.broadcast(n))
+        .select(
+            "term",
+            (
+                F.col("tf").cast("double")
+                * (F.log((1 + F.col("n")) / (1 + F.col("df"))) + F.lit(1.0))
+            ).alias("w"),
+        )
+    )
+    nrm = raw.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    return raw.crossJoin(F.broadcast(nrm)).select(
+        "term", (F.col("w") / F.col("nrm")).alias("qw")
+    )
+
+
+def tfidf_search(
+    query_text: str,
+    docs: DataFrame,
+    k: int = 20,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stopwords: tuple[str, ...] = STOPWORDS_EN,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """F2: sparse cosine = sum over shared terms of qw*weight, top-k.
+
+    The scored join broadcasts the query terms; the corpus side never
+    shuffles before the (tiny) per-query top-k."""
+    w = tfidf_weights(
+        docs, id_col=id_col, text_col=text_col, stopwords=stopwords, round_decimals=12
+    )
+    qw = query_tfidf(query_text, docs, id_col=id_col, text_col=text_col, stopwords=stopwords)
+    return (
+        w.join(F.broadcast(qw), "term")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("weight") * F.col("qw")), round_decimals).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def hybrid_search(
+    query_text: str,
+    query_vec_id,
+    docs: DataFrame,
+    emb: DataFrame,
+    k: int = 20,
+    *,
+    alpha: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    stopwords: tuple[str, ...] = STOPWORDS_EN,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """F3+F4 (app.py:202-210): hybrid = alpha*dense_dot + (1-alpha)*
+    minmax(tfidf_cosine), replicating the reference's quirks exactly
+    (SURVEY 2.9.2-3): TF-IDF cosine computed over the WHOLE corpus, min-max
+    over the candidate set (here: all docs), dense side left raw.
+    """
+    from vector_database_product_recommendation_spark.functions.vectors import dot
+
+    # sparse side — cosine for every doc (missing -> 0.0, as sklearn yields)
+    w = tfidf_weights(
+        docs, id_col=id_col, text_col=text_col, stopwords=stopwords, round_decimals=12
+    )
+    qw = query_tfidf(query_text, docs, id_col=id_col, text_col=text_col, stopwords=stopwords)
+    sparse = (
+        w.join(F.broadcast(qw), "term")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("weight") * F.col("qw")).alias("ts"))
+    )
+    all_docs = docs.select(F.col(id_col).alias("doc_id"))
+    sparse = all_docs.join(sparse, "doc_id", "left").select(
+        "doc_id", F.coalesce("ts", F.lit(0.0)).alias("ts")
+    )
+    # min-max over the candidate set (F3; guarded like app.py:207-208)
+    bounds = sparse.agg(F.min("ts").alias("mn"), F.max("ts").alias("mx"))
+    scaled = sparse.crossJoin(F.broadcast(bounds)).select(
+        "doc_id",
+        F.when(
+            F.col("mx") > F.col("mn"),
+            (F.col("ts") - F.col("mn")) / (F.col("mx") - F.col("mn") + F.lit(1e-12)),
+        )
+        .otherwise(F.col("ts"))
+        .alias("ts_scaled"),
+    )
+    # dense side — raw dot against the query item's own vector (E2 shape)
+    qv = emb.filter(F.col(vec_id_col) == F.lit(query_vec_id)).select(
+        F.col(vec_col).alias("__qv")
+    )
+    dense = emb.crossJoin(F.broadcast(qv)).select(
+        F.col(vec_id_col).alias("doc_id"), dot(vec_col, "__qv").alias("vs")
+    )
+    return (
+        scaled.join(dense, "doc_id")
+        .select(
+            "doc_id",
+            F.round(
+                F.lit(alpha) * F.col("vs") + F.lit(1.0 - alpha) * F.col("ts_scaled"),
+                round_decimals,
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -516,3 +516,123 @@ ORDER BY id_a, id_b
 @register("dedup_embedding_cosine", _EMB_NEAR_DUP_ORACLE)
 def _dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.embedding_near_dup(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# Lineage pipeline (M0: reviews -> products, SURVEY.md sections 1.1, 2.4)
+# ---------------------------------------------------------------------------
+
+from vector_database_product_recommendation_spark.operators.lineage import docs_to_catalog  # noqa: E402
+from vector_database_product_recommendation_spark.operators.tfidf import (  # noqa: E402
+    hybrid_search,
+    tfidf_search,
+    tfidf_weights,
+)
+
+_CATALOG_ORACLE = """
+WITH r AS (SELECT doc_id, source, lang, n_chars,
+                  lower(concat_ws(' ', text, lang, source)) AS combined_text
+           FROM documents)
+SELECT source AS group_id,
+       count(*) AS n_docs,
+       round(avg(n_chars), 6) AS avg_chars,
+       arg_min(combined_text, doc_id) AS example_text,
+       arg_min(lang, doc_id) AS first_lang
+FROM r GROUP BY source ORDER BY group_id
+"""
+
+
+@register("products_from_reviews", _CATALOG_ORACLE)
+def _products_from_reviews(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return docs_to_catalog(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF + hybrid (M4, SURVEY.md sections 1.4, 2.6 F2-F4)
+# ---------------------------------------------------------------------------
+
+# Mirrors operators/tfidf.py exactly: sklearn token pattern \w\w+, our
+# stop-word list, smooth idf ln((1+n)/(1+df))+1, l2 norm, weights rounded
+# to 12 decimals before scoring (so engine FP noise stays below the final
+# 6-decimal round).
+_TFIDF_CTE = f"""
+terms AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_extract_all(lower(text), '\\w\\w+'),
+                            t -> NOT list_contains([{_SW_LIST}], t))) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+raw AS (SELECT doc_id, term, tf * (ln((1.0 + n) / (1.0 + df)) + 1.0) AS w
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM raw GROUP BY 1),
+weights AS (SELECT doc_id, term, round(w / nrm, 12) AS weight
+            FROM raw JOIN nrm USING (doc_id))
+"""
+
+_QUERY_TERMS_CTE = f"""
+q_terms AS (
+  SELECT unnest(list_filter(regexp_extract_all(lower(text), '\\w\\w+'),
+                            t -> NOT list_contains([{_SW_LIST}], t))) AS term
+  FROM documents WHERE doc_id = 7),
+q_tf AS (SELECT term, count(*) AS tf FROM q_terms GROUP BY 1),
+q_raw AS (SELECT term, tf * (ln((1.0 + n) / (1.0 + df)) + 1.0) AS w
+          FROM q_tf JOIN dfreq USING (term) CROSS JOIN n),
+q_nrm AS (SELECT sqrt(sum(w * w)) AS nrm FROM q_raw),
+qw AS (SELECT term, w / nrm AS qw FROM q_raw CROSS JOIN q_nrm)
+"""
+
+_TFIDF_WEIGHTS_ORACLE = f"""
+WITH {_TFIDF_CTE}
+SELECT doc_id, term, round(weight, 6) AS weight FROM weights
+ORDER BY doc_id, term
+"""
+
+
+@register("tfidf_weights", _TFIDF_WEIGHTS_ORACLE)
+def _tfidf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tfidf_weights(load_table(spark, sf_dir, "documents"))
+
+
+_TFIDF_SEARCH_ORACLE = f"""
+WITH {_TFIDF_CTE},
+{_QUERY_TERMS_CTE}
+SELECT doc_id, round(sum(weight * qw), 6) AS score
+FROM weights JOIN qw USING (term)
+GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20
+"""
+
+
+@register("tfidf_search", _TFIDF_SEARCH_ORACLE)
+def _tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    qtext = docs.filter(F.col("doc_id") == 7).select("text").first()[0]
+    return tfidf_search(qtext, docs, k=20)
+
+
+_HYBRID_ORACLE = f"""
+WITH {_TFIDF_CTE},
+{_QUERY_TERMS_CTE},
+ts0 AS (SELECT doc_id, sum(weight * qw) AS ts FROM weights JOIN qw USING (term) GROUP BY doc_id),
+ts AS (SELECT d.doc_id, coalesce(ts0.ts, 0.0) AS ts
+       FROM documents d LEFT JOIN ts0 ON d.doc_id = ts0.doc_id),
+b AS (SELECT min(ts) AS mn, max(ts) AS mx FROM ts),
+scaled AS (SELECT doc_id,
+                  CASE WHEN mx > mn THEN (ts - mn) / (mx - mn + 1e-12) ELSE ts END AS ts_scaled
+           FROM ts CROSS JOIN b),
+qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7),
+dense AS (SELECT vec_id AS doc_id, list_inner_product(embedding::DOUBLE[], qv.v) AS vs
+          FROM embeddings CROSS JOIN qv)
+SELECT s.doc_id, round(0.7 * vs + 0.3 * ts_scaled, 6) AS score
+FROM scaled s JOIN dense USING (doc_id)
+ORDER BY score DESC, doc_id LIMIT 20
+"""
+
+
+@register("hybrid_search", _HYBRID_ORACLE)
+def _hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qtext = docs.filter(F.col("doc_id") == 7).select("text").first()[0]
+    return hybrid_search(qtext, 7, docs, emb, k=20, alpha=0.7)
