@@ -38,6 +38,24 @@ from vector_database_product_recommendation_spark.functions.vectors import dot
 
 _MAXLONG = (1 << 62) - 1
 
+# MinHash permutation family: one md5-based hash per shingle, then k affine
+# permutations h -> (a*h + b) mod P over the Mersenne prime P = 2^31 - 1.
+# One md5 per shingle total (vs k) — the dominant cost at scale. The a/b
+# constants are themselves md5-derived so both engines embed identical
+# literals.
+_MERSENNE_P = (1 << 31) - 1
+
+
+def _perm_constants(num_hashes: int) -> tuple[list[int], list[int]]:
+    import hashlib
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    a = [(h60(f"{s}A") % (_MERSENNE_P - 1)) + 1 for s in range(num_hashes)]
+    b = [h60(f"{s}B") % _MERSENNE_P for s in range(num_hashes)]
+    return a, b
+
 
 def exact_dedup_groups(
     docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
@@ -80,7 +98,7 @@ def ngram_jaccard_pairs(
     """
     sh = _doc_shingles(docs, id_col, text_col, n).select(
         "doc_id", F.explode("shingles").alias("shingle")
-    )
+    ).persist()  # feeds df-count, sizes, and both sides of the self-join
     cold = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -116,15 +134,22 @@ def ngram_jaccard_pairs(
 
 def _minhash_col(shingles: Column, num_hashes: int) -> Column:
     """array<bigint> of `num_hashes` minhashes — a row-local fold over the
-    shingle array: mh[s] = min over shingles of hash60(s || '|' || shingle).
-    Pure expression -> whole-stage codegen, zero shuffle."""
+    shingle array: base = hash60(shingle) mod P computed ONCE per shingle,
+    then mh[s] = min over shingles of (a_s*base + b_s) mod P. Pure
+    expression -> whole-stage codegen, zero shuffle, one md5 per shingle."""
+    a_const, b_const = _perm_constants(num_hashes)
+    a_arr = F.array(*[F.lit(x) for x in a_const])
+    b_arr = F.array(*[F.lit(x) for x in b_const])
+    hs = F.transform(shingles, lambda sh: hash60(sh) % F.lit(_MERSENNE_P))
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda s: F.aggregate(
-            shingles,
+            hs,
             F.lit(_MAXLONG),
-            lambda acc, sh: F.least(
-                acc, hash60(F.concat(s.cast("string"), F.lit("|"), sh))
+            lambda acc, h: F.least(
+                acc,
+                (F.element_at(a_arr, s + 1) * h + F.element_at(b_arr, s + 1))
+                % F.lit(_MERSENNE_P),
             ),
         ),
     )
@@ -167,9 +192,13 @@ def minhash_lsh_pairs(
         raise ValueError("bands must divide num_hashes")
     rows = num_hashes // bands
     sh = _doc_shingles(docs, id_col, text_col, n)
+    # Persist the signature table: it feeds the band self-join (2 scans) and
+    # both verify joins (2 more) — without it Spark re-runs the whole
+    # shingle+minhash pipeline per scan. At warehouse scale this is the
+    # "write signatures once" step of any LSH pipeline.
     with_mh = sh.select(
         "doc_id", "shingles", _minhash_col(F.col("shingles"), num_hashes).alias("mh")
-    )
+    ).persist()
     band_sigs = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda j: F.md5(

@@ -415,12 +415,24 @@ def _dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Permutation constants mirror operators/dedup.py (_perm_constants): one
+# md5-based base hash per shingle, then affine permutations mod 2^31-1.
+from vector_database_product_recommendation_spark.operators.dedup import (  # noqa: E402
+    _MERSENNE_P,
+    _perm_constants,
+)
+
+_A32, _B32 = _perm_constants(32)
+_CONSTS_SQL = f"(SELECT {_A32} AS pa, {_B32} AS pb) consts"
+
 _MINHASH_SIG_ORACLE = f"""
-WITH {_SHINGLES_CTE}
+WITH {_SHINGLES_CTE},
+hsrc AS (SELECT doc_id, list_transform(shingles,
+                 sh -> {_h60("sh")} % {_MERSENNE_P}) AS hs FROM s)
 SELECT doc_id, t2.seed,
-       list_min(list_transform(shingles,
-                sh -> {_h60("t2.seed::VARCHAR||'|'||sh")})) AS minhash
-FROM s CROSS JOIN range(0, 32) t2(seed)
+       list_min(list_transform(hs,
+                h -> (pa[t2.seed + 1] * h + pb[t2.seed + 1]) % {_MERSENNE_P})) AS minhash
+FROM hsrc CROSS JOIN {_CONSTS_SQL} CROSS JOIN range(0, 32) t2(seed)
 ORDER BY doc_id, t2.seed
 """
 
@@ -432,11 +444,13 @@ def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MINHASH_LSH_ORACLE = f"""
 WITH {_SHINGLES_CTE},
+hsrc AS (SELECT doc_id, shingles, list_transform(shingles,
+                 sh -> {_h60("sh")} % {_MERSENNE_P}) AS hs FROM s),
 mh AS (SELECT doc_id, shingles,
               list_transform(range(0, 32),
-                sd -> list_min(list_transform(shingles,
-                       sh -> {_h60("sd::VARCHAR||'|'||sh")}))) AS mh
-       FROM s),
+                sd -> list_min(list_transform(hs,
+                       h -> (pa[sd + 1] * h + pb[sd + 1]) % {_MERSENNE_P}))) AS mh
+       FROM hsrc CROSS JOIN {_CONSTS_SQL}),
 banded AS (SELECT doc_id, j AS band,
                   md5(array_to_string(mh[j*4+1 : j*4+4], ',')) AS sig
            FROM mh CROSS JOIN range(0, 8) t2(j)),
