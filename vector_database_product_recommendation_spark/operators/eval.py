@@ -1,0 +1,124 @@
+"""ANN quality/latency evaluation — the reference's only correctness
+instrument (SURVEY.md section 5): IVF results scored against exact flat
+search as ground truth, reported as Precision@K / MRR / avg ms per query
+over a query sample, per nprobe (ann_tradeoff_table.csv:1-6, AN5/J6/A-g7).
+
+Output schema matches the reference table: (nprobe, precision_at_k, mrr,
+avg_query_time_ms, queries_used).
+
+Metric definitions (J6 lineage):
+- Precision@K: |ivf_topk ∩ exact_topk| / k, averaged over queries
+  (self-matches excluded on both sides, as the reference's post-hoc
+  self-removal does).
+- MRR: reciprocal of the rank of the exact top-1 neighbor within the IVF
+  list (0 if absent), averaged.
+- avg_query_time_ms: wall-clock of the IVF batch divided by #queries —
+  batch throughput, the honest Spark-native equivalent of the reference's
+  per-query ms (SURVEY.md section 6 framing note).
+"""
+
+from __future__ import annotations
+
+import time
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from vector_database_product_recommendation_spark.operators.ivf import (
+    assign_clusters,
+    ivf_knn,
+    train_kmeans_centroids,
+)
+from vector_database_product_recommendation_spark.operators.knn import exact_knn
+
+
+def ann_tradeoff(
+    emb: DataFrame,
+    *,
+    n_queries: int = 64,
+    k: int = 10,
+    nprobes: tuple[int, ...] = (1, 2, 5, 10, 20),
+    nlist: int | None = None,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Regenerate the reference's nprobe trade-off table on any corpus."""
+    spark = emb.sparkSession
+    n = emb.count()
+    nlist = nlist or max(2, int(n**0.5))
+
+    queries = (
+        emb.filter(F.col(id_col) < n_queries)
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec"))
+    )
+
+    cents = train_kmeans_centroids(emb, nlist, vec_col=vec_col, seed=seed)
+    assigned = assign_clusters(emb, cents, vec_col=vec_col).persist()
+    assigned.count()  # materialize so per-nprobe timing excludes assignment
+
+    exact = exact_knn(
+        emb, queries, k, corpus_id=id_col, corpus_vec=vec_col, exclude_self=True
+    ).persist()
+    exact_top1 = exact.filter(F.col("rank") == 1).select(
+        "query_id", F.col("neighbor_id").alias("nn1")
+    )
+    n_q = queries.count()
+
+    out_rows = []
+    for nprobe in nprobes:
+        t0 = time.time()
+        ivf = ivf_knn(
+            assigned,
+            cents,
+            queries,
+            k,
+            nprobe,
+            corpus_id=id_col,
+            corpus_vec=vec_col,
+            exclude_self=True,
+        ).persist()
+        ivf.count()
+        elapsed_ms = (time.time() - t0) * 1000.0
+
+        hits = (
+            ivf.join(exact, ["query_id", "neighbor_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_hit"))
+        )
+        precision = (
+            queries.join(hits, "query_id", "left")
+            .agg(F.avg(F.coalesce(F.col("n_hit"), F.lit(0)) / F.lit(float(k))))
+            .first()[0]
+        )
+        rr = (
+            exact_top1.join(
+                ivf.select("query_id", "neighbor_id", "rank"),
+                (exact_top1.query_id == ivf.query_id)
+                & (exact_top1.nn1 == ivf.neighbor_id),
+                "left",
+            )
+            .select(
+                F.coalesce(1.0 / F.col("rank"), F.lit(0.0)).alias("rr")
+            )
+            .agg(F.avg("rr"))
+            .first()[0]
+        )
+        ivf.unpersist()
+        out_rows.append(
+            (
+                nprobe,
+                round(float(precision), 6),
+                round(float(rr), 6),
+                round(elapsed_ms / n_q, 3),
+                n_q,
+            )
+        )
+
+    assigned.unpersist()
+    exact.unpersist()
+    return spark.createDataFrame(
+        out_rows,
+        "nprobe int, precision_at_k double, mrr double, "
+        "avg_query_time_ms double, queries_used long",
+    )

@@ -1,0 +1,181 @@
+"""IVF (inverted-file) approximate KNN: KMeans coarse quantizer + cluster
+pruning — the Spark-native rebuild of the reference's IndexIVFFlat
+(SURVEY.md section 2.7 AN2-AN4; nlist=39≈⌊√1578⌋, metric=inner-product,
+nprobe slider at app.py:383-384 [verified from the index binary header]).
+
+Spark-first mapping:
+- train (AN2): MLlib KMeans(k=nlist, fixed seed) on the vectors. Euclidean
+  KMeans == spherical KMeans on unit vectors (‖a-b‖² = 2-2a·b), so the
+  trained centroids serve the inner-product metric directly.
+- assign/build (AN3): row-local argmax-dot against the broadcast centroid
+  matrix inside mapInPandas (one BLAS matmul per Arrow batch; the corpus
+  NEVER shuffles). Persisting `write.partitionBy('cluster_id')` turns
+  nprobe pruning into native parquet partition pruning.
+- probe (AN4): rank centroids per query (driver-side — the centroid table
+  is tiny by construction), keep top-nprobe, then score ONLY corpus rows in
+  probed clusters: a broadcast join on cluster_id followed by the same
+  batched top-k kernel as exact KNN.
+
+nprobe == nlist degenerates to exact search (metamorphic test).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def train_kmeans_centroids(
+    emb: DataFrame,
+    nlist: int,
+    *,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+) -> DataFrame:
+    """AN2: (cluster_id, centroid array<double>) via MLlib KMeans."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = emb.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=nlist, seed=seed, maxIter=max_iter).fit(feats)
+    rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return emb.sparkSession.createDataFrame(
+        rows, "cluster_id int, centroid array<double>"
+    )
+
+
+def assign_clusters(
+    emb: DataFrame,
+    centroids: DataFrame,
+    *,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """AN3: append `cluster_id` = argmax-dot centroid, row-local.
+
+    The centroid matrix ships in the task closure (nlist x d floats); each
+    Arrow batch does one matmul + argmax. No shuffle of the corpus.
+    """
+    cent = centroids.orderBy("cluster_id").collect()
+    cmat = np.stack([np.asarray(r["centroid"], dtype=np.float64) for r in cent])
+    cids = np.array([r["cluster_id"] for r in cent])
+    # fresh StructType — .add() would mutate the DataFrame's cached schema
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    schema = StructType(list(emb.schema.fields) + [StructField("cluster_id", IntegerType())])
+    out_cols = [f.name for f in schema.fields]
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            best = cids[np.argmax(mat @ cmat.T, axis=1)]
+            pdf = pdf.assign(cluster_id=best.astype(np.int32))
+            yield pdf[out_cols]
+
+    return emb.mapInPandas(assign, schema)
+
+
+def ivf_knn(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int,
+    nprobe: int,
+    *,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    exclude_self: bool = False,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """AN4: per-query top-k over the union of its nprobe best clusters.
+
+    Returns (query_id, neighbor_id, score, rank) like exact_knn. With the
+    corpus laid out partitionBy('cluster_id'), the cluster_id IN (...)
+    semi-join becomes partition pruning — only nprobe/nlist of the data is
+    read per query batch.
+    """
+    spark = assigned.sparkSession
+    cent = centroids.orderBy("cluster_id").collect()
+    cmat = np.stack([np.asarray(r["centroid"], dtype=np.float64) for r in cent])
+    cids = np.array([r["cluster_id"] for r in cent])
+
+    qrows = queries.select(query_id, query_vec).collect()
+    if not qrows:
+        raise ValueError("empty query batch")
+    probe_rows = []
+    for r in qrows:
+        qv = np.asarray(r[1], dtype=np.float64)
+        sims = cmat @ qv
+        # deterministic centroid ranking: (-sim, cluster_id)
+        top = cids[np.lexsort((cids, -sims))[: min(nprobe, len(cids))]]
+        probe_rows.extend((r[0], int(c)) for c in top)
+    probed = spark.createDataFrame(
+        probe_rows, f"query_id {queries.schema[query_id].dataType.simpleString()}, cluster_id int"
+    )
+
+    qdf = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
+    )
+    from vector_database_product_recommendation_spark.functions.vectors import dot
+
+    cand = (
+        assigned.join(F.broadcast(probed), "cluster_id")
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id",
+            F.col(corpus_id).alias("neighbor_id"),
+            F.round(dot(corpus_vec, "__qv"), round_decimals).alias("score"),
+        )
+    )
+    if exclude_self:
+        cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    method: str = "auto",
+    nlist: int | None = None,
+    nprobe: int = 5,
+    exact_threshold: int = 100_000,
+    seed: int = 42,
+    **kw,
+) -> DataFrame:
+    """Strategy-choosing KNN (SURVEY.md section 4): exact brute force for
+    small corpora, IVF where scale warrants — the reference's footnote
+    heuristic (app.py:442-445) made explicit, mirroring Spark's own
+    broadcast-threshold idea."""
+    from vector_database_product_recommendation_spark.operators.knn import exact_knn
+
+    if method == "auto":
+        n = corpus.count()
+        method = "exact" if n <= exact_threshold else "ivf"
+    if method == "exact":
+        return exact_knn(corpus, queries, k, **kw)
+    if method != "ivf":
+        raise ValueError(f"unknown method {method!r}")
+    n = corpus.count()
+    nlist = nlist or max(1, int(n ** 0.5))
+    cents = train_kmeans_centroids(corpus, nlist, vec_col=kw.get("corpus_vec", "embedding"), seed=seed)
+    assigned = assign_clusters(corpus, cents, vec_col=kw.get("corpus_vec", "embedding"))
+    return ivf_knn(assigned, cents, queries, k, nprobe, **kw)

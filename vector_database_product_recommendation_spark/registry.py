@@ -650,3 +650,78 @@ def _hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qtext = docs.filter(F.col("doc_id") == 7).select("text").first()[0]
     return hybrid_search(qtext, 7, docs, emb, k=20, alpha=0.7)
+
+
+# ---------------------------------------------------------------------------
+# Encoder UDF + free-text retrieval (M3, E1 vector path)
+# ---------------------------------------------------------------------------
+
+from vector_database_product_recommendation_spark.functions.embed import free_text_search  # noqa: E402
+from vector_database_product_recommendation_spark.operators.eval import ann_tradeoff  # noqa: E402
+from vector_database_product_recommendation_spark.operators.ivf import (  # noqa: E402
+    assign_clusters,
+    ivf_knn,
+    train_kmeans_centroids,
+)
+
+_FREE_TEXT_Q = "spark fast table join query scan stream window"
+
+# Mirrors functions/embed.py hash_embed_py: bucket = h % 384, sign from
+# (h // 384) parity, l2 norm with +1e-12; dense dot == sparse sum over
+# shared buckets because absent buckets are zero.
+_FREE_TEXT_ORACLE = f"""
+WITH t0 AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+t AS (SELECT * FROM t0 WHERE len(toks) > 0),
+ex AS (SELECT doc_id, unnest(toks) AS term FROM t),
+hb AS (SELECT doc_id, h % 384 AS bucket,
+              CASE WHEN (h // 384) % 2 = 0 THEN 1.0 ELSE -1.0 END AS sgn
+       FROM (SELECT doc_id, {_h60("term")} AS h FROM ex)),
+sp AS (SELECT doc_id, bucket, sum(sgn) AS v FROM hb GROUP BY 1, 2),
+nrm AS (SELECT doc_id, sqrt(sum(v * v)) + 1e-12 AS nrm FROM sp GROUP BY 1),
+dv AS (SELECT sp.doc_id, bucket, v / nrm AS v FROM sp JOIN nrm USING (doc_id)),
+qex AS (SELECT unnest(list_filter(string_split_regex(lower(trim('{_FREE_TEXT_Q}')), '\\s+'),
+                                  x -> len(x) > 0)) AS term),
+qhb AS (SELECT h % 384 AS bucket,
+               CASE WHEN (h // 384) % 2 = 0 THEN 1.0 ELSE -1.0 END AS sgn
+        FROM (SELECT {_h60("term")} AS h FROM qex)),
+qsp AS (SELECT bucket, sum(sgn) AS v FROM qhb GROUP BY 1),
+qn AS (SELECT sqrt(sum(v * v)) + 1e-12 AS nrm FROM qsp),
+qdv AS (SELECT bucket, v / nrm AS v FROM qsp CROSS JOIN qn),
+scored AS (SELECT doc_id, round(sum(dv.v * qdv.v), 6) AS score
+           FROM dv JOIN qdv USING (bucket) GROUP BY doc_id),
+ranked AS (SELECT 0 AS query_id, doc_id AS neighbor_id, score,
+                  row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+           FROM scored)
+SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 10 ORDER BY rank
+"""
+
+
+@register("free_text_search", _FREE_TEXT_ORACLE)
+def _free_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return free_text_search(_FREE_TEXT_Q, load_table(spark, sf_dir, "documents"), k=10)
+
+
+# ---------------------------------------------------------------------------
+# IVF + ANN evaluation (M5/M6, AN2-AN5) — KMeans is iterative, so these are
+# rows-only checks by design; the exactness guarantee comes from the
+# metamorphic test ivf(nprobe=nlist) == exact in tests/test_ivf.py.
+# ---------------------------------------------------------------------------
+
+
+@register("ivf_knn_probe")
+def _ivf_knn_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    nlist = max(2, int(n**0.5))
+    cents = train_kmeans_centroids(emb, nlist, seed=42)
+    assigned = assign_clusters(emb, cents)
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_knn(assigned, cents, q, 5, nprobe=5)
+
+
+@register("ann_tradeoff")
+def _ann_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_tradeoff(emb, n_queries=32, k=10, nprobes=(1, 2, 5, 10, 20))
