@@ -1,0 +1,84 @@
+"""Structured Streaming equivalence + multimodal plumbing tests.
+
+Streaming strategy (SURVEY.md section 2.8): the same logical plan runs in
+batch and streaming; correctness = streaming(availableNow) over the same
+parquet produces exactly the batch result.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from vector_database_product_recommendation_spark.operators.multimodal import (
+    attach_payload,
+    extract_features,
+    fake_feature_decoder,
+    frame_sample,
+)
+from vector_database_product_recommendation_spark.sources.tables import load_table
+from vector_database_product_recommendation_spark.streaming.events import (
+    stream_windowed_counts,
+    windowed_event_agg,
+)
+
+
+def test_stream_equals_batch_windowed_agg(spark, sf_dir, tmp_path):
+    events = load_table(spark, sf_dir, "events")
+    batch = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in windowed_event_agg(events).drop("n_users").collect()
+    }
+
+    # FileStreamSource wants a directory; stage the (read-only) file into
+    # one via symlink, and hand over the RAW schema (ts as nanos-long).
+    stage = tmp_path / "events_stream"
+    stage.mkdir()
+    (stage / "events.parquet").symlink_to(f"{sf_dir}/events.parquet")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    agg = stream_windowed_counts(spark, str(stage), schema=raw_schema)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    stream = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    assert stream == batch
+
+
+def test_multimodal_schema_and_determinism(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_payload(docs)
+    assert dict(media.dtypes)["payload"] == "binary"
+    assert dict(media.dtypes)["meta"].startswith("struct")
+
+    feats = extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == docs.count()
+    assert all(len(r["features"]) == 8 for r in rows)
+    assert all(0.0 <= v < 1.0 for r in rows for v in r["features"])
+
+    # determinism: python reference == distributed result
+    one = docs.filter(F.col("doc_id") == 0).select("text").first()[0]
+    expect = fake_feature_decoder(one.encode()).tolist()
+    got = {r["doc_id"]: r["features"] for r in rows}[0]
+    assert got == expect
+
+
+def test_multimodal_metadata_pushdown_filter(spark, sf_dir):
+    media = attach_payload(load_table(spark, sf_dir, "documents"))
+    small = media.filter(F.col("meta.n_bytes") < 200)
+    assert 0 < small.count() < media.count()
+
+
+def test_frame_sample(spark, sf_dir):
+    media = attach_payload(load_table(spark, sf_dir, "documents"))
+    sampled = frame_sample(media, every_n=10)
+    ids = [r["doc_id"] for r in sampled.select("doc_id").collect()]
+    assert ids and all(i % 10 == 0 for i in ids)

@@ -725,3 +725,95 @@ def _ivf_knn_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ann_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return ann_tradeoff(emb, n_queries=32, k=10, nprobes=(1, 2, 5, 10, 20))
+
+
+# ---------------------------------------------------------------------------
+# Event streams (batch forms of the streaming plans; streaming equivalence
+# is tested in tests/test_streaming.py) + multimodal plumbing
+# ---------------------------------------------------------------------------
+
+from vector_database_product_recommendation_spark.operators.multimodal import (  # noqa: E402
+    attach_payload,
+    extract_features,
+)
+from vector_database_product_recommendation_spark.streaming.events import (  # noqa: E402
+    json_props_agg,
+    sessionize,
+    windowed_event_agg,
+)
+
+_WINDOWED_ORACLE = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@register("events_windowed_agg", _WINDOWED_ORACLE)
+def _events_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windowed_event_agg(load_table(spark, sf_dir, "events"))
+
+
+# Gaps-and-islands mirror of Spark session_window semantics: an event at
+# exactly prev_ts + gap does NOT merge ([start, end) windows), so a new
+# session starts when ts >= prev + gap; session_end = last ts + gap.
+_SESSION_ORACLE = """
+WITH o AS (SELECT user_id, ts, value,
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+           FROM events),
+m AS (SELECT user_id, ts, value,
+             CASE WHEN prev IS NULL OR ts >= prev + INTERVAL 5 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM o),
+g AS (SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 5 MINUTE AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM g GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
+@register("events_sessionization", _SESSION_ORACLE)
+def _events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionize(load_table(spark, sf_dir, "events"), gap="5 minutes")
+
+
+_JSON_ORACLE = """
+SELECT event_type, count(*) AS n_events,
+       round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 6) AS avg_k,
+       max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("events_json_props", _JSON_ORACLE)
+def _events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return json_props_agg(load_table(spark, sf_dir, "events"))
+
+
+# DuckDB md5(VARCHAR) hashes the UTF-8 bytes == Spark md5(text::binary),
+# so the oracle can hash the text while Spark hashes the binary payload.
+_MULTIMODAL_ORACLE = f"""
+WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents)
+SELECT doc_id, j AS pos,
+       ({_h60("hx||'|'||j")} % 1000000)::DOUBLE / 1000000.0 AS val
+FROM h CROSS JOIN range(0, 8) t2(j)
+ORDER BY doc_id, pos
+"""
+
+
+@register("multimodal_features", _MULTIMODAL_ORACLE)
+def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = attach_payload(load_table(spark, sf_dir, "documents"))
+    feats = extract_features(media)
+    return feats.select(
+        "doc_id", F.posexplode("features").alias("pos", "val")
+    ).orderBy("doc_id", "pos")

@@ -14,6 +14,7 @@ only ever collected when they are a *query batch* (small by construction).
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 TABLES = (
@@ -31,9 +32,21 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one synthetic table. ``name`` must be in TABLES."""
+    """Read one synthetic table. ``name`` must be in TABLES.
+
+    The events table is written with TIMESTAMP(NANOS), which Spark's
+    parquet reader rejects by default; read nanos as long and floor-divide
+    to micros — the same truncation DuckDB applies, so both engines see
+    identical timestamps.
+    """
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -1,0 +1,105 @@
+"""Event-stream operators: tumbling-window aggregation, sessionization,
+JSON prop extraction — batch and Structured Streaming share one logical
+plan builder (the Spark way: the same DataFrame expressions run in either
+mode; only the source/sink differ).
+
+The reference has no streaming surface (SURVEY.md section 2.8) — this is
+the planned `events` extension (section 7 M7). Correctness strategy:
+- batch forms are DuckDB-oracle-checked (registry entries);
+- the streaming path is tested by equivalence: readStream over the same
+  parquet, availableNow trigger, memory sink, result == batch result
+  (tests/test_streaming.py).
+
+Scale notes: tumbling windows + watermark bound state; sessionization uses
+session_window (state per active session only). Counts/sums are partial-
+aggregated map-side before the single keyed shuffle. distinct-user counts
+would use approx_count_distinct in production streams (sketcheable,
+mergeable); the oracle-checked batch form keeps exact count(distinct).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+
+def windowed_event_agg(events: DataFrame, *, window: str = "1 hour") -> DataFrame:
+    """Tumbling-window counts/sums per event_type. Epoch-aligned windows
+    (Spark default) == date_trunc for whole-unit windows."""
+    return (
+        events.groupBy(
+            F.window("ts", window).getField("start").alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+def sessionize(events: DataFrame, *, gap: str = "5 minutes") -> DataFrame:
+    """Session windows per user: a session ends after `gap` of inactivity.
+    Spark session_window semantics: start = first event ts, end = last
+    event ts + gap; an event at exactly `end` opens a NEW session."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+def json_props_agg(events: DataFrame) -> DataFrame:
+    """Extract props.k (JSON string column) and aggregate per event_type."""
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        events.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def stream_windowed_counts(
+    spark: SparkSession,
+    events_dir: str,
+    *,
+    schema,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+):
+    """Structured Streaming form of windowed_event_agg (without the exact
+    distinct, which is not incrementally mergeable): readStream parquet ->
+    watermark -> tumbling window agg. Caller attaches the sink.
+
+    `events_dir` must be a DIRECTORY (FileStreamSource contract). If the
+    provided schema carries ts as bigint (nanos read via the legacy conf),
+    it is floor-divided to micros exactly like the batch loader.
+    """
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).getField("start").alias("window_start"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
