@@ -40,10 +40,15 @@ def ann_tradeoff(
     nprobes: tuple[int, ...] = (1, 2, 5, 10, 20),
     nlist: int | None = None,
     seed: int = 42,
+    kmeans_iter: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Regenerate the reference's nprobe trade-off table on any corpus."""
+    """Regenerate the reference's nprobe trade-off table on any corpus.
+
+    kmeans_iter defaults to 10: a coarse quantizer converges to useful
+    centroids in a handful of iterations, and recall is measured against
+    the exact oracle anyway."""
     spark = emb.sparkSession
     n = emb.count()
     nlist = nlist or max(2, int(n**0.5))
@@ -53,7 +58,9 @@ def ann_tradeoff(
         .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec"))
     )
 
-    cents = train_kmeans_centroids(emb, nlist, vec_col=vec_col, seed=seed)
+    cents = train_kmeans_centroids(
+        emb, nlist, vec_col=vec_col, seed=seed, max_iter=kmeans_iter
+    )
     assigned = assign_clusters(emb, cents, vec_col=vec_col).persist()
     assigned.count()  # materialize so per-nprobe timing excludes assignment
 

@@ -44,7 +44,10 @@ def train_kmeans_centroids(
     feats = emb.select(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
     )
-    model = KMeans(k=nlist, seed=seed, maxIter=max_iter).fit(feats)
+    # random init (seeded): k-means|| costs several extra passes over the
+    # data and a coarse quantizer doesn't need it — recall is governed by
+    # nprobe and verified against the exact oracle.
+    model = KMeans(k=nlist, seed=seed, maxIter=max_iter, initMode="random").fit(feats)
     rows = [
         (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
     ]
@@ -125,18 +128,35 @@ def ivf_knn(
         probe_rows, f"query_id {queries.schema[query_id].dataType.simpleString()}, cluster_id int"
     )
 
-    qdf = queries.select(
-        F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
-    )
-    from vector_database_product_recommendation_spark.functions.vectors import dot
+    # Score candidates with a vectorized Arrow kernel — the query batch is
+    # already on the driver, so ship a qid->vector map in the closure and
+    # do one row-wise BLAS dot per batch (the interpreted zip_with dot
+    # costs ~200x more per element).
+    qmap = {r[0]: np.asarray(r[1], dtype=np.float64) for r in qrows}
+    qid_dtype = queries.schema[query_id].dataType.simpleString()
+    nid_dtype = assigned.schema[corpus_id].dataType.simpleString()
+    dec = round_decimals
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            emb_mat = np.stack(pdf[corpus_vec].to_numpy()).astype(np.float64)
+            qmat = np.stack([qmap[q] for q in pdf["query_id"]])
+            s = np.round((emb_mat * qmat).sum(axis=1), dec)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf[corpus_id],
+                    "score": s,
+                }
+            )
 
     cand = (
         assigned.join(F.broadcast(probed), "cluster_id")
-        .join(F.broadcast(qdf), "query_id")
-        .select(
-            "query_id",
-            F.col(corpus_id).alias("neighbor_id"),
-            F.round(dot(corpus_vec, "__qv"), round_decimals).alias("score"),
+        .select("query_id", corpus_id, corpus_vec)
+        .mapInPandas(
+            score, f"query_id {qid_dtype}, neighbor_id {nid_dtype}, score double"
         )
     )
     if exclude_self:

@@ -46,6 +46,74 @@ def _doc_terms(docs: DataFrame, id_col: str, text_col: str, stopwords) -> DataFr
     ).filter(~F.array_contains(sw, F.col("term")))
 
 
+class TfidfModel:
+    """The fitted state (tf, df, n) with the per-scan shuffles persisted —
+    every downstream consumer (weights, query transform, search, hybrid)
+    derives from these without re-running tokenization/aggregation. The
+    warehouse-scale analog is writing the tf/df tables once per corpus."""
+
+    def __init__(self, docs: DataFrame, id_col: str, text_col: str, stopwords):
+        self.docs = docs
+        self.id_col = id_col
+        self.text_col = text_col
+        self.stopwords = stopwords
+        terms = _doc_terms(docs, id_col, text_col, stopwords)
+        self.tf = terms.groupBy("doc_id", "term").agg(
+            F.count(F.lit(1)).alias("tf")
+        ).persist()
+        self.dfreq = self.tf.groupBy("term").agg(
+            F.count(F.lit(1)).alias("df")
+        ).persist()
+        self.n = docs.agg(F.count(F.lit(1)).alias("n"))
+
+    def _raw(self, tf: DataFrame, keys: list[str]) -> DataFrame:
+        return (
+            tf.join(self.dfreq, "term")
+            .crossJoin(F.broadcast(self.n))
+            .select(
+                *keys,
+                (
+                    F.col("tf").cast("double")
+                    * (F.log((1 + F.col("n")) / (1 + F.col("df"))) + F.lit(1.0))
+                ).alias("w"),
+            )
+        )
+
+    def weights(self, round_decimals: int = 6) -> DataFrame:
+        """l2-normalized smooth-idf TF-IDF, long sparse form
+        (doc_id, term, weight)."""
+        raw = self._raw(self.tf, ["doc_id", "term"])
+        norms = raw.groupBy("doc_id").agg(
+            F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+        )
+        return (
+            raw.join(norms, "doc_id")
+            .select(
+                "doc_id",
+                "term",
+                F.round(F.col("w") / F.col("nrm"), round_decimals).alias("weight"),
+            )
+            .orderBy("doc_id", "term")
+        )
+
+    def transform_query(self, query_text: str) -> DataFrame:
+        """One query string -> (term, qw) under the corpus-fitted idf.
+        Unseen terms drop out (outside the fitted vocabulary, as in
+        sklearn transform). Tiny result, meant to be broadcast."""
+        spark = self.docs.sparkSession
+        q = spark.createDataFrame(
+            [(0, query_text)], f"{self.id_col} long, {self.text_col} string"
+        )
+        q_tf = _doc_terms(q, self.id_col, self.text_col, self.stopwords).groupBy(
+            "term"
+        ).agg(F.count(F.lit(1)).alias("tf"))
+        raw = self._raw(q_tf, ["term"])
+        nrm = raw.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+        return raw.crossJoin(F.broadcast(nrm)).select(
+            "term", (F.col("w") / F.col("nrm")).alias("qw")
+        )
+
+
 def tfidf_weights(
     docs: DataFrame,
     *,
@@ -54,34 +122,8 @@ def tfidf_weights(
     stopwords: tuple[str, ...] = STOPWORDS_EN,
     round_decimals: int = 6,
 ) -> DataFrame:
-    """l2-normalized smooth-idf TF-IDF, long sparse form
-    (doc_id, term, weight)."""
-    terms = _doc_terms(docs, id_col, text_col, stopwords)
-    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n = docs.agg(F.count(F.lit(1)).alias("n"))
-    raw = (
-        tf.join(dfreq, "term")
-        .crossJoin(F.broadcast(n))
-        .select(
-            "doc_id",
-            "term",
-            (
-                F.col("tf").cast("double")
-                * (F.log((1 + F.col("n")) / (1 + F.col("df"))) + F.lit(1.0))
-            ).alias("w"),
-        )
-    )
-    norms = raw.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
-    return (
-        raw.join(norms, "doc_id")
-        .select(
-            "doc_id",
-            "term",
-            F.round(F.col("w") / F.col("nrm"), round_decimals).alias("weight"),
-        )
-        .orderBy("doc_id", "term")
-    )
+    """l2-normalized smooth-idf TF-IDF, long sparse form."""
+    return TfidfModel(docs, id_col, text_col, stopwords).weights(round_decimals)
 
 
 def query_tfidf(
@@ -92,36 +134,8 @@ def query_tfidf(
     text_col: str = "text",
     stopwords: tuple[str, ...] = STOPWORDS_EN,
 ) -> DataFrame:
-    """Transform one query string with the corpus-fitted idf -> (term, qw).
-
-    Unseen terms drop out (sklearn transform does the same: they're outside
-    the fitted vocabulary). The result is tiny and meant to be broadcast.
-    """
-    spark = docs.sparkSession
-    q = spark.createDataFrame([(0, query_text)], f"{id_col} long, {text_col} string")
-    q_terms = _doc_terms(q, id_col, text_col, stopwords)
-    q_tf = q_terms.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
-
-    tf = _doc_terms(docs, id_col, text_col, stopwords).groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).alias("tf")
-    )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n = docs.agg(F.count(F.lit(1)).alias("n"))
-    raw = (
-        q_tf.join(dfreq, "term")  # inner join = drop out-of-vocabulary terms
-        .crossJoin(F.broadcast(n))
-        .select(
-            "term",
-            (
-                F.col("tf").cast("double")
-                * (F.log((1 + F.col("n")) / (1 + F.col("df"))) + F.lit(1.0))
-            ).alias("w"),
-        )
-    )
-    nrm = raw.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
-    return raw.crossJoin(F.broadcast(nrm)).select(
-        "term", (F.col("w") / F.col("nrm")).alias("qw")
-    )
+    """Transform one query string with the corpus-fitted idf -> (term, qw)."""
+    return TfidfModel(docs, id_col, text_col, stopwords).transform_query(query_text)
 
 
 def tfidf_search(
@@ -138,10 +152,9 @@ def tfidf_search(
 
     The scored join broadcasts the query terms; the corpus side never
     shuffles before the (tiny) per-query top-k."""
-    w = tfidf_weights(
-        docs, id_col=id_col, text_col=text_col, stopwords=stopwords, round_decimals=12
-    )
-    qw = query_tfidf(query_text, docs, id_col=id_col, text_col=text_col, stopwords=stopwords)
+    model = TfidfModel(docs, id_col, text_col, stopwords)
+    w = model.weights(round_decimals=12)
+    qw = model.transform_query(query_text)
     return (
         w.join(F.broadcast(qw), "term")
         .groupBy("doc_id")
@@ -174,19 +187,19 @@ def hybrid_search(
     from vector_database_product_recommendation_spark.functions.vectors import dot
 
     # sparse side — cosine for every doc (missing -> 0.0, as sklearn yields)
-    w = tfidf_weights(
-        docs, id_col=id_col, text_col=text_col, stopwords=stopwords, round_decimals=12
-    )
-    qw = query_tfidf(query_text, docs, id_col=id_col, text_col=text_col, stopwords=stopwords)
+    model = TfidfModel(docs, id_col, text_col, stopwords)
+    w = model.weights(round_decimals=12)
+    qw = model.transform_query(query_text)
     sparse = (
         w.join(F.broadcast(qw), "term")
         .groupBy("doc_id")
         .agg(F.sum(F.col("weight") * F.col("qw")).alias("ts"))
     )
     all_docs = docs.select(F.col(id_col).alias("doc_id"))
+    # persisted: feeds the min/max bounds agg AND the rescale projection
     sparse = all_docs.join(sparse, "doc_id", "left").select(
         "doc_id", F.coalesce("ts", F.lit(0.0)).alias("ts")
-    )
+    ).persist()
     # min-max over the candidate set (F3; guarded like app.py:207-208)
     bounds = sparse.agg(F.min("ts").alias("mn"), F.max("ts").alias("mx"))
     scaled = sparse.crossJoin(F.broadcast(bounds)).select(

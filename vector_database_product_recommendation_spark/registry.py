@@ -713,7 +713,7 @@ def _ivf_knn_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     n = emb.count()
     nlist = max(2, int(n**0.5))
-    cents = train_kmeans_centroids(emb, nlist, seed=42)
+    cents = train_kmeans_centroids(emb, nlist, seed=42, max_iter=10)
     assigned = assign_clusters(emb, cents)
     q = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
