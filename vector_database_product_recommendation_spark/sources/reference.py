@@ -1,0 +1,100 @@
+"""Ingest the reference's own artifacts (SURVEY.md section 1) and rebuild
+its derived tables with this engine's operators — the direct parity proof:
+running OUR lineage pipeline on THEIR reviews.csv must reproduce THEIR
+products.csv and product_embeddings.npy bit-for-bit (modulo float32).
+
+Reference layout (all [verified] in SURVEY.md):
+- reviews.csv: 1578 rows, positional identity (no review-level key) ->
+  we mint `review_idx` at ingest (section 1.5 hard-part i).
+- combined_text = lower(title || ' ' || text || ' ' || brand)  (P10)
+- products.csv = group-by derivation of reviews (section 1.1)
+- product_embeddings.npy = l2-normalized per-product MEAN of
+  review_embeddings.npy rows (A-g4)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.window import Window
+
+REVIEWS_SCHEMA = (
+    "`id` string, `asins` string, `brand` string, `categories` string, "
+    "`reviews.title` string, `reviews.text` string, "
+    "`reviews.rating` double, `combined_text` string"
+)
+
+
+def load_reviews(spark: SparkSession, csv_path: str) -> DataFrame:
+    """reviews.csv with an explicit minted row index.
+
+    multiLine + escape handle quoted review bodies with embedded newlines.
+    File order -> review_idx via monotonically_increasing_id: valid because
+    a single CSV file scans as one partition; a sharded ingest would sort
+    on an explicit key instead (the id is minted ONCE at ingest and is a
+    real column from then on).
+    """
+    df = spark.read.csv(
+        csv_path, header=True, multiLine=True, escape='"', schema=REVIEWS_SCHEMA
+    )
+    w = Window.orderBy(F.monotonically_increasing_id())
+    return df.withColumn("review_idx", F.row_number().over(w) - 1)
+
+
+def load_embeddings_npy(spark: SparkSession, npy_path: str) -> DataFrame:
+    """A dense .npy matrix as (review_idx, embedding) — the positional-
+    alignment invariant made explicit (S4)."""
+    mat = np.load(npy_path).astype(np.float64)
+    rows = [(i, row.tolist()) for i, row in enumerate(mat)]
+    return spark.createDataFrame(rows, "review_idx int, embedding array<double>")
+
+
+def with_combined_text(reviews: DataFrame) -> DataFrame:
+    """P10 [verified]: lower(title || ' ' || text || ' ' || brand).
+
+    NB: concat (not concat_ws) semantics — the reference joins with single
+    spaces even when a part is empty, which concat_ws would collapse — and
+    whitespace runs are collapsed to single spaces afterwards (3 of 1578
+    rows carry multi-space runs in the raw fields that the shipped
+    combined_text does not: the offline pipeline normalized whitespace).
+    """
+    joined = F.concat(
+        F.coalesce(F.col("`reviews.title`"), F.lit("")),
+        F.lit(" "),
+        F.coalesce(F.col("`reviews.text`"), F.lit("")),
+        F.lit(" "),
+        F.coalesce(F.col("brand"), F.lit("")),
+    )
+    return reviews.withColumn(
+        "combined_text_rebuilt",
+        F.trim(F.regexp_replace(F.lower(joined), r"\s+", " ")),
+    )
+
+
+def rebuild_products(reviews: DataFrame) -> DataFrame:
+    """products.csv derivation (section 1.1, all columns [verified]):
+    count-all, null-skipping mean, first-row-in-file-order fields."""
+    return (
+        reviews.groupBy("id")
+        .agg(
+            F.min_by("brand", "review_idx").alias("brand"),
+            F.min_by("categories", "review_idx").alias("categories"),
+            F.min_by("asins", "review_idx").alias("asins"),
+            F.count(F.lit(1)).alias("n_reviews"),
+            F.min_by("combined_text", "review_idx").alias("example_text"),
+            F.avg("`reviews.rating`").alias("avg_rating"),
+        )
+        .orderBy("id")
+    )
+
+
+def rebuild_product_embeddings(reviews: DataFrame, emb: DataFrame) -> DataFrame:
+    """product vector = l2-normalized element-wise mean of the product's
+    review vectors (A-g4 [verified], cos == 1.0 vs the shipped .npy)."""
+    from vector_database_product_recommendation_spark.operators.centroids import (
+        group_centroids,
+    )
+
+    joined = reviews.select("id", "review_idx").join(emb, "review_idx")
+    return group_centroids(joined, "id", "embedding")
