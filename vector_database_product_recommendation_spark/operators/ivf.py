@@ -199,3 +199,21 @@ def knn(
     cents = train_kmeans_centroids(corpus, nlist, vec_col=kw.get("corpus_vec", "embedding"), seed=seed)
     assigned = assign_clusters(corpus, cents, vec_col=kw.get("corpus_vec", "embedding"))
     return ivf_knn(assigned, cents, queries, k, nprobe, **kw)
+
+
+def write_ivf_store(
+    assigned: DataFrame, path: str, *, mode: str = "overwrite"
+) -> None:
+    """Persist the clustered corpus partitionBy(cluster_id) — the on-disk
+    inverted-file layout. A later `cluster_id IN (probed)` filter becomes
+    native parquet PARTITION PRUNING: only nprobe/nlist of the files are
+    ever opened (the reference's inverted-list skipping, AN4, expressed as
+    data layout instead of index structure)."""
+    assigned.write.mode(mode).partitionBy("cluster_id").parquet(path)
+
+
+def read_ivf_store(spark, path: str) -> DataFrame:
+    """Reopen the partitioned corpus; cluster_id comes back as a partition
+    column (int)."""
+    df = spark.read.parquet(path)
+    return df.withColumn("cluster_id", F.col("cluster_id").cast("int"))
