@@ -817,3 +817,61 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "doc_id", F.posexplode("features").alias("pos", "val")
     ).orderBy("doc_id", "pos")
+
+
+# ---------------------------------------------------------------------------
+# Relational breadth: filter-sum, semi join, anti join, salted aggregate
+# ---------------------------------------------------------------------------
+
+from vector_database_product_recommendation_spark.operators.skew import salted_event_rollup  # noqa: E402
+
+register(
+    "q6_forecast_revenue",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+      AND l_shipdate <  TIMESTAMP '1999-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)(R.q6_forecast_revenue)
+
+register(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)(R.q4_order_priority)
+
+register(
+    "dormant_customers",
+    """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '1998-11-01')
+    ORDER BY c_custkey
+    """,
+)(R.dormant_customers)
+
+# The salted two-phase aggregate must equal the plain group-by exactly —
+# the oracle IS the unsalted form.
+_SALTED_ORACLE = """
+SELECT event_type,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value,
+       round(sum(value) / count(*), 6) AS avg_value,
+       max(value) AS max_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("salted_event_rollup", _SALTED_ORACLE)
+def _salted_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return salted_event_rollup(load_table(spark, sf_dir, "events"))
