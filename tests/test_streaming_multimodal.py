@@ -82,3 +82,40 @@ def test_frame_sample(spark, sf_dir):
     sampled = frame_sample(media, every_n=10)
     ids = [r["doc_id"] for r in sampled.select("doc_id").collect()]
     assert ids and all(i % 10 == 0 for i in ids)
+
+
+def test_stateful_running_totals_equals_batch(spark, sf_dir, tmp_path):
+    from vector_database_product_recommendation_spark.streaming.events import (
+        user_running_totals_stream,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    batch = {
+        r["user_id"]: (r["n"], r["s"])
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+
+    stage = tmp_path / "events_stateful"
+    stage.mkdir()
+    (stage / "events.parquet").symlink_to(f"{sf_dir}/events.parquet")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    q = (
+        user_running_totals_stream(spark, str(stage), schema=raw_schema)
+        .writeStream.format("memory")
+        .queryName("user_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["user_id"]: (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM user_totals").collect()
+    }
+    assert set(got) == set(batch)
+    for uid, (n, s) in batch.items():
+        assert got[uid][0] == n
+        assert abs(got[uid][1] - s) < 1e-6

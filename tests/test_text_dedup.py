@@ -144,3 +144,29 @@ def test_embedding_near_dup(spark):
     )
     out = embedding_near_dup(emb, threshold=0.99).collect()
     assert [(r["id_a"], r["id_b"], r["score"]) for r in out] == [(1, 2, 1.0)]
+
+
+def test_embedding_lsh_blocked_matches_exact_on_planted_dups(spark):
+    import numpy as np
+
+    from vector_database_product_recommendation_spark.operators.dedup import (
+        embedding_near_dup_lsh,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 64))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, v.tolist()))
+        if i % 4 == 0:  # plant a near-duplicate of every 4th vector
+            w = v + rng.normal(scale=0.02, size=64)
+            w /= np.linalg.norm(w)
+            rows.append((1000 + i, w.tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact = {(r["id_a"], r["id_b"]) for r in embedding_near_dup(emb, threshold=0.95).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in embedding_near_dup_lsh(emb, threshold=0.95).collect()}
+    assert lsh <= exact                      # precision exact by construction
+    assert len(exact) >= 10
+    assert len(lsh) / len(exact) >= 0.9      # SRP recall at near-dup cosine

@@ -467,3 +467,91 @@ def embedding_near_dup(
     return emb.select(id_col, vec_col).mapInPandas(
         kernel, f"id_a {dtype}, id_b {dtype}, score double"
     ).orderBy("id_a", "id_b")
+
+
+def _rademacher_planes(n_planes: int, dim: int) -> np.ndarray:
+    """Deterministic ±1 hyperplanes from md5 bits: entry (p, d) flips on
+    the low bit of hash60(f"{p}|{d}"). Same constants every run/engine."""
+    out = np.empty((n_planes, dim), dtype=np.float64)
+    for p in range(n_planes):
+        for d in range(dim):
+            out[p, d] = 1.0 if (_md5_60(f"{p}|{d}") & 1) == 0 else -1.0
+    return out
+
+
+def embedding_near_dup_lsh(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """The 100-TB path for embedding near-dup: random-hyperplane (SimHash
+    for vectors) blocking + exact verification of candidates only.
+
+    Each vector gets an n_planes-bit sign signature (one BLAS matvec
+    against the fixed Rademacher plane matrix, row-local); bands of
+    n_planes/n_bands bits become join keys; candidate pairs sharing any
+    band are verified with the exact dot >= threshold.
+
+    Precision is exact (every emitted pair is verified). Recall is the
+    standard SRP-LSH bound: a pair at cosine s agrees per-plane with
+    p = 1 - arccos(s)/pi, per-band with p^r, overall 1-(1-p^r)^b — at
+    near-dup thresholds (s >= 0.95, 4x4 bands) that is ~0.99; the exact
+    all-pairs operator `embedding_near_dup` is its audit oracle on samples.
+    """
+    if n_planes % n_bands != 0:
+        raise ValueError("n_bands must divide n_planes")
+    r_bits = n_planes // n_bands
+    dim = len(emb.select(vec_col).first()[0])
+    planes = _rademacher_planes(n_planes, dim)
+    id_dtype = emb.schema[id_col].dataType.simpleString()
+
+    def sign_bands(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            bits = (mat @ planes.T) >= 0  # (n, n_planes)
+            ids, band_idx, band_key = [], [], []
+            pows = 1 << np.arange(r_bits)
+            for j in range(n_bands):
+                chunk = bits[:, j * r_bits : (j + 1) * r_bits]
+                keys = (chunk * pows).sum(axis=1)
+                ids.extend(pdf[id_col])
+                band_idx.extend([j] * len(keys))
+                band_key.extend(keys.tolist())
+            yield pd.DataFrame(
+                {"vid": ids, "band_idx": band_idx, "band_key": band_key}
+            )
+
+    banded = emb.select(id_col, vec_col).mapInPandas(
+        sign_bands, f"vid {id_dtype}, band_idx int, band_key long"
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"))
+        .distinct()
+    )
+    from vector_database_product_recommendation_spark.functions.vectors import dot
+
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a", "id_b", F.round(dot("__va", "__vb"), round_decimals).alias("score")
+        )
+        .filter(F.col("score") >= threshold)
+        .orderBy("id_a", "id_b")
+    )

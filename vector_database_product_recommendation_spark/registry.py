@@ -875,3 +875,15 @@ FROM events GROUP BY event_type ORDER BY event_type
 @register("salted_event_rollup", _SALTED_ORACLE)
 def _salted_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_event_rollup(load_table(spark, sf_dir, "events"))
+
+
+# LSH-blocked embedding near-dup: the 100-TB path. Rows-only by design:
+# band membership depends on FP sign boundaries of the projections, which
+# an independent engine can legitimately flip at ~0 projections; its
+# correctness check is the metamorphic audit vs the exact operator
+# (tests/test_text_dedup.py::test_embedding_lsh_blocked_matches_exact...).
+@register("dedup_embedding_lsh")
+def _dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.embedding_near_dup_lsh(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+    )

@@ -103,3 +103,42 @@ def stream_windowed_counts(
             F.round(F.sum("value"), 6).alias("sum_value"),
         )
     )
+
+
+def user_running_totals_stream(
+    spark: SparkSession,
+    events_dir: str,
+    *,
+    schema,
+):
+    """Custom stateful operator (the applyInPandasWithState surface): a
+    per-user running (count, sum) accumulator, emitted in Update mode on
+    every trigger. State is one (long, double) pair per user — bounded by
+    the user population, the canonical keyed-state shape. A production
+    variant adds a GroupStateTimeout to expire idle users; the accumulator
+    logic is identical.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+    def update(key, pdfs, state: GroupState):
+        c, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            c += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((c, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [c], "sum_value": [s]}
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, sum_value double",
+        stateStructType="c long, s double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
