@@ -91,3 +91,46 @@ def test_ann_tradeoff_on_reference_reviews(spark):
     assert rows[20]["mrr"] >= 0.85
     assert rows[1]["precision_at_k"] <= rows[5]["precision_at_k"] + 1e-9
     assert rows[5]["precision_at_k"] <= rows[20]["precision_at_k"] + 1e-9
+
+
+def test_e1_two_stage_retrieval_on_reference_products(spark, ref_emb, ref_mat):
+    """E1 with metadata pre-filtering (app.py:156-188): filter products on
+    (brand, min_rating, min_reviews), then score ONLY survivors against a
+    query vector, top-k — compared against the app's own NumPy flow."""
+    import pandas as pd
+
+    from vector_database_product_recommendation_spark.operators.knn import exact_knn
+
+    prod = pd.read_csv(f"{REF}/products.csv")
+    sdf = spark.createDataFrame(prod.assign(row_idx=range(len(prod))))
+
+    min_rating, min_reviews, k, qidx = 4.0, 10, 5, 7
+
+    # stage 1 (Spark): the reference's null-defaulted conjunctive mask
+    cand = sdf.filter(
+        (F.lower(F.col("brand")) == "amazon")
+        & (F.coalesce(F.col("avg_rating"), F.lit(-1.0)) >= min_rating)
+        & (F.coalesce(F.col("n_reviews"), F.lit(0)) >= min_reviews)
+    ).select("row_idx")
+    corpus = cand.join(ref_emb, cand.row_idx == ref_emb.vec_id).select(
+        "vec_id", "embedding"
+    )
+    q = spark.createDataFrame(
+        [(0, ref_mat[qidx].tolist())], "query_id long, query_vec array<double>"
+    )
+    ours = exact_knn(corpus, q, k).collect()
+
+    # the app's flow in numpy (app.py:156-164, 181-182)
+    mask = (
+        prod["brand"].str.lower().eq("amazon")
+        & prod["avg_rating"].fillna(-1).ge(min_rating)
+        & prod["n_reviews"].fillna(0).ge(min_reviews)
+    ).to_numpy()
+    idxs = mask.nonzero()[0]
+    scores = ref_mat[idxs] @ ref_mat[qidx]
+    order = scores.argsort()[::-1][:k]
+    assert len(ours) == min(k, len(idxs))
+    for r, (i, s) in zip(ours, zip(idxs[order], scores[order])):
+        assert abs(r["score"] - s) < 1e-5
+    # candidate set honored: nothing outside the filtered ids
+    assert {r["neighbor_id"] for r in ours} <= set(idxs.tolist())

@@ -52,15 +52,40 @@ class TfidfModel:
     derives from these without re-running tokenization/aggregation. The
     warehouse-scale analog is writing the tf/df tables once per corpus."""
 
-    def __init__(self, docs: DataFrame, id_col: str, text_col: str, stopwords):
+    def __init__(
+        self,
+        docs: DataFrame,
+        id_col: str,
+        text_col: str,
+        stopwords,
+        max_features: int | None = None,
+    ):
         self.docs = docs
         self.id_col = id_col
         self.text_col = text_col
         self.stopwords = stopwords
         terms = _doc_terms(docs, id_col, text_col, stopwords)
-        self.tf = terms.groupBy("doc_id", "term").agg(
-            F.count(F.lit(1)).alias("tf")
-        ).persist()
+        tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+        if max_features is not None:
+            # sklearn max_features semantics: keep the top-k vocabulary by
+            # total corpus term count (ties broken alphabetically — made
+            # explicit here where sklearn relies on sort stability).
+            from pyspark.sql import Window
+
+            vocab = (
+                tf.groupBy("term")
+                .agg(F.sum("tf").alias("cnt"))
+                .withColumn(
+                    "rk",
+                    F.row_number().over(
+                        Window.orderBy(F.desc("cnt"), F.asc("term"))
+                    ),
+                )
+                .filter(F.col("rk") <= max_features)
+                .select("term")
+            )
+            tf = tf.join(F.broadcast(vocab), "term")
+        self.tf = tf.persist()
         self.dfreq = self.tf.groupBy("term").agg(
             F.count(F.lit(1)).alias("df")
         ).persist()

@@ -887,3 +887,38 @@ def _dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.embedding_near_dup_lsh(
         load_table(spark, sf_dir, "embeddings"), threshold=0.4
     )
+
+
+# max_features vocabulary cap (sklearn semantics: top-k vocab by total
+# corpus count, alphabetical tie-break) — the single-window rank over the
+# term-count aggregate is tiny (vocab-sized), so the unpartitioned window
+# is safe at any corpus scale.
+from vector_database_product_recommendation_spark.operators.tfidf import TfidfModel  # noqa: E402
+from vector_database_product_recommendation_spark.functions.text import STOPWORDS_EN as _SW  # noqa: E402
+
+_TFIDF_CAPPED_ORACLE = f"""
+WITH terms AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_extract_all(lower(text), '\\w\\w+'),
+                            t -> NOT list_contains([{_SW_LIST}], t))) AS term
+  FROM documents),
+tf0 AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+vocab AS (SELECT term FROM (
+            SELECT term, row_number() OVER (ORDER BY sum(tf) DESC, term) AS rk
+            FROM tf0 GROUP BY term) WHERE rk <= 20),
+tf AS (SELECT tf0.* FROM tf0 JOIN vocab USING (term)),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+raw AS (SELECT doc_id, term, tf * (ln((1.0 + n) / (1.0 + df)) + 1.0) AS w
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM raw GROUP BY 1)
+SELECT doc_id, term, round(w / nrm, 6) AS weight
+FROM raw JOIN nrm USING (doc_id)
+ORDER BY doc_id, term
+"""
+
+
+@register("tfidf_weights_capped", _TFIDF_CAPPED_ORACLE)
+def _tfidf_weights_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return TfidfModel(docs, "doc_id", "text", _SW, max_features=20).weights()
