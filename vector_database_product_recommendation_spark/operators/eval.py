@@ -88,29 +88,33 @@ def ann_tradeoff(
         ivf.count()
         elapsed_ms = (time.time() - t0) * 1000.0
 
-        hits = (
-            ivf.join(exact, ["query_id", "neighbor_id"], "left_semi")
-            .groupBy("query_id")
-            .agg(F.count(F.lit(1)).alias("n_hit"))
-        )
-        precision = (
-            queries.join(hits, "query_id", "left")
-            .agg(F.avg(F.coalesce(F.col("n_hit"), F.lit(0)) / F.lit(float(k))))
-            .first()[0]
-        )
-        rr = (
-            exact_top1.join(
-                ivf.select("query_id", "neighbor_id", "rank"),
-                (exact_top1.query_id == ivf.query_id)
-                & (exact_top1.nn1 == ivf.neighbor_id),
+        # one fused metrics job: per (query, neighbor) mark exact-hit and
+        # nn1 membership, aggregate per query, average — the metric frames
+        # are q*k rows, so the only real cost is job count
+        marked = (
+            ivf.select("query_id", "neighbor_id", "rank")
+            .join(
+                exact.select("query_id", "neighbor_id").withColumn("hit", F.lit(1)),
+                ["query_id", "neighbor_id"],
                 "left",
             )
-            .select(
-                F.coalesce(1.0 / F.col("rank"), F.lit(0.0)).alias("rr")
-            )
-            .agg(F.avg("rr"))
-            .first()[0]
+            .join(exact_top1, "query_id")
         )
+        per_query = marked.groupBy("query_id").agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"),
+            F.max(
+                F.when(F.col("neighbor_id") == F.col("nn1"), 1.0 / F.col("rank"))
+            ).alias("rr"),
+        )
+        agg = (
+            queries.join(per_query, "query_id", "left")
+            .agg(
+                F.avg(F.coalesce(F.col("n_hit"), F.lit(0)) / F.lit(float(k))).alias("p"),
+                F.avg(F.coalesce(F.col("rr"), F.lit(0.0))).alias("m"),
+            )
+            .first()
+        )
+        precision, rr = agg["p"], agg["m"]
         ivf.unpersist()
         out_rows.append(
             (

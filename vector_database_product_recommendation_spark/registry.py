@@ -922,3 +922,22 @@ ORDER BY doc_id, term
 def _tfidf_weights_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return TfidfModel(docs, "doc_id", "text", _SW, max_features=20).weights()
+
+
+_FORMAT_ORACLE = """
+SELECT doc_id, lang, source,
+       concat(substring(text, 1, 80), '...') AS text_preview
+FROM documents ORDER BY doc_id LIMIT 25
+"""
+
+
+@register("format_results", _FORMAT_ORACLE)
+def _format_results(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").orderBy("doc_id")
+    return R.format_results(
+        docs,
+        ["doc_id", "lang", "source", "text", "missing_col_is_skipped"],
+        preview_col="text",
+        preview_len=80,
+        head=25,
+    )
