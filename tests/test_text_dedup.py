@@ -170,3 +170,37 @@ def test_embedding_lsh_blocked_matches_exact_on_planted_dups(spark):
     assert lsh <= exact                      # precision exact by construction
     assert len(exact) >= 10
     assert len(lsh) / len(exact) >= 0.9      # SRP recall at near-dup cosine
+
+
+def test_text_functions_property_fuzz(spark):
+    """Property fuzz (hypothesis): for arbitrary printable strings, the
+    Column-expression text ops agree with their plain-Python definitions
+    and stay in range."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    texts_acc = []
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.text(alphabet=st.characters(codec="ascii", exclude_categories=("Cc",)), max_size=80))
+    def collect(t):
+        texts_acc.append(t)
+
+    collect()
+    rows = [(i, t) for i, t in enumerate(texts_acc)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = df.select(
+        "doc_id",
+        token_count_ws("text").alias("n"),
+        quality_score("text").alias("q"),
+        doc_fingerprint("text").alias("f"),
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    for i, t in rows:
+        r = by_id[i]
+        assert r["n"] == len(t.lower().split())
+        assert 0.0 <= r["q"] <= 1.0
+        import hashlib as _h
+
+        expect = _h.md5(" ".join(sorted(set(t.lower().split()))).encode()).hexdigest()
+        assert r["f"] == expect

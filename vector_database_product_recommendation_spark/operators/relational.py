@@ -221,3 +221,23 @@ def format_results(
             F.concat(F.substring(F.col(preview_col), 1, preview_len), F.lit("...")),
         ).drop(preview_col)
     return out.limit(head) if head is not None else out
+
+
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation: revenue at (returnflag, linestatus), per
+    returnflag subtotals, and the grand total in one pass — Spark plans a
+    single Expand + hash aggregate, shuffling one row per (group, level).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            ),
+        )
+        .orderBy(
+            F.asc_nulls_first("l_returnflag"), F.asc_nulls_first("l_linestatus")
+        )
+    )

@@ -941,3 +941,16 @@ def _format_results(spark: SparkSession, sf_dir: str) -> DataFrame:
         preview_len=80,
         head=25,
     )
+
+
+register(
+    "revenue_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_lines,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)(R.revenue_rollup)
