@@ -954,3 +954,37 @@ register(
     ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
     """,
 )(R.revenue_rollup)
+
+
+# As-of join oracle: DuckDB's native ASOF LEFT JOIN with the same strict
+# inequality. Feature: per event, the user's most recent EARLIER click and
+# the gap in seconds.
+from vector_database_product_recommendation_spark.operators.asof import asof_join  # noqa: E402
+
+_ASOF_ORACLE = """
+SELECT a.event_id, a.user_id, a.ts,
+       b.ts AS last_click_ts,
+       round(CASE WHEN b.ts IS NULL THEN NULL
+                  ELSE epoch(a.ts) - epoch(b.ts) END, 6) AS gap_sec
+FROM events a ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b
+  ON a.user_id = b.user_id AND b.ts < a.ts
+ORDER BY a.event_id
+"""
+
+
+@register("events_asof_last_click", _ASOF_ORACLE)
+def _events_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click")
+    joined = asof_join(
+        events, clicks, on="user_id", left_ts="ts", strict=True, prefix="asof_"
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_ts").alias("last_click_ts"),
+        F.round(
+            (F.unix_micros("ts") - F.unix_micros("asof_ts")) / F.lit(1_000_000.0), 6
+        ).alias("gap_sec"),
+    ).orderBy("event_id")
