@@ -988,3 +988,68 @@ def _events_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.unix_micros("ts") - F.unix_micros("asof_ts")) / F.lit(1_000_000.0), 6
         ).alias("gap_sec"),
     ).orderBy("event_id")
+
+
+# Keyed range join oracle: plain inequality join in DuckDB. Intervals =
+# 10-minute attention windows opened by each click; points = all events of
+# the same user falling inside a window (excluding the opening click row
+# pairing with itself at start boundary is fine: start <= ts).
+from vector_database_product_recommendation_spark.operators.rangejoin import range_join  # noqa: E402
+
+_RANGE_ORACLE = """
+WITH iv AS (SELECT event_id AS click_id, user_id, ts AS start_ts,
+                   ts + INTERVAL 10 MINUTE AS end_ts
+            FROM events WHERE event_type = 'click')
+SELECT a.event_id, a.user_id, a.ts, iv.click_id, iv.start_ts
+FROM events a JOIN iv
+  ON a.user_id = iv.user_id AND a.ts >= iv.start_ts AND a.ts < iv.end_ts
+ORDER BY a.event_id, iv.click_id
+"""
+
+
+@register("events_range_join", _RANGE_ORACLE)
+def _events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    iv = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("end_ts"),
+    )
+    joined = range_join(
+        events.select("event_id", "user_id", "ts"),
+        iv,
+        on="user_id",
+        point_ts="ts",
+        start_col="start_ts",
+        end_col="end_ts",
+        bucket_seconds=600,
+    )
+    return joined.select(
+        "event_id", "user_id", "ts", "click_id", "start_ts"
+    ).orderBy("event_id", "click_id")
+
+
+# Rolling window aggregation (time-series feature): per-user 5-row moving
+# average of value, deterministic ordering (ts, event_id).
+_ROLLING_ORACLE = """
+SELECT event_id, user_id,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS ma5
+FROM events ORDER BY event_id
+"""
+
+
+@register("events_rolling_avg", _ROLLING_ORACLE)
+def _events_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return events.select(
+        "event_id", "user_id", F.round(F.avg("value").over(w), 6).alias("ma5")
+    ).orderBy("event_id")
