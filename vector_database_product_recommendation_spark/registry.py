@@ -1053,3 +1053,57 @@ def _events_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.select(
         "event_id", "user_id", F.round(F.avg("value").over(w), 6).alias("ma5")
     ).orderBy("event_id")
+
+
+# Exact interpolated percentiles: Spark percentile() and DuckDB
+# quantile_cont share linear-interpolation semantics.
+_PCTL_ORACLE = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("events_value_percentiles", _PCTL_ORACLE)
+def _events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+            F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# Set operations: INTERSECT / EXCEPT over per-type user sets.
+_SETOPS_ORACLE = """
+SELECT 'both' AS segment, user_id FROM (
+  SELECT user_id FROM events WHERE event_type = 'click'
+  INTERSECT
+  SELECT user_id FROM events WHERE event_type = 'error')
+UNION ALL
+SELECT 'click_only' AS segment, user_id FROM (
+  SELECT user_id FROM events WHERE event_type = 'click'
+  EXCEPT
+  SELECT user_id FROM events WHERE event_type = 'error')
+ORDER BY segment, user_id
+"""
+
+
+@register("events_user_setops", _SETOPS_ORACLE)
+def _events_user_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select("user_id")
+    errors = events.filter(F.col("event_type") == "error").select("user_id")
+    both = clicks.intersect(errors).select(F.lit("both").alias("segment"), "user_id")
+    # subtract == EXCEPT (set semantics), matching the SQL EXCEPT above;
+    # exceptAll would be bag semantics and leave duplicate survivors
+    only = clicks.subtract(errors).select(
+        F.lit("click_only").alias("segment"), "user_id"
+    )
+    return both.unionByName(only).orderBy("segment", "user_id")
