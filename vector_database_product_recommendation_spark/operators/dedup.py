@@ -11,9 +11,11 @@ hashes via ``functions.text.hash60``):
 - embedding cosine: threshold pairs over unit vectors       (exact baseline)
 
 Scale notes (100 TB):
-- signatures (minhash, simhash, fingerprints) are ROW-LOCAL pure-column
-  expressions — array folds inside whole-stage codegen, no Python workers,
-  no shuffle. The only shuffles are the pair-finding joins, whose keys
+- signatures (minhash, simhash, fingerprints) are ROW-LOCAL: computed in
+  Arrow-batched mapInPandas kernels (vectorized numpy int math; the
+  equivalent pure-Column folds `_minhash_col`/`simhash_col` are kept for
+  expression composability but run ~20x slower interpreted). No shuffle.
+  The only shuffles are the pair-finding joins, whose keys
   (shingle / band signature / simhash chunk) are engineered to be sparse.
 - the inverted-index join caps shingle document-frequency (``max_df``):
   a shingle occurring in more than max_df docs is a stop-shingle and is
