@@ -98,3 +98,33 @@ def test_ivf_store_roundtrip_complete(spark, sf_dir, ivf_store):
     df = read_ivf_store(spark, ivf_store)
     assert df.count() == emb.count()
     assert set(df.columns) >= {"vec_id", "embedding", "cluster_id"}
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path_factory):
+    from vector_database_product_recommendation_spark.sources.tables import write_bucketed
+
+    base = tmp_path_factory.mktemp("bucketed")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    write_bucketed(orders, "orders_b", str(base / "orders"), bucket_col="o_orderkey")
+    write_bucketed(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "lineitem_b",
+        str(base / "lineitem"),
+        bucket_col="o_orderkey",
+    )
+    a, b = spark.table("orders_b"), spark.table("lineitem_b")
+    # hint forces the sort-merge path (at test scale Spark would broadcast,
+    # which hides the property under test: at fact-fact scale broadcast is
+    # off the table and bucketing is what removes the shuffle)
+    joined = (
+        a.hint("merge")
+        .join(b.hint("merge"), "o_orderkey")
+        .select("o_orderkey", "o_totalprice", "l_quantity")
+    )
+    plan = plan_of(joined)
+    assert "SortMergeJoin" in plan, plan
+    assert "hashpartitioning" not in plan, plan  # co-located: no shuffle
+    # and it still computes the right thing
+    expect = orders.join(li, orders.o_orderkey == li.l_orderkey).count()
+    assert joined.count() == expect

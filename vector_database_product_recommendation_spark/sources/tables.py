@@ -60,3 +60,26 @@ def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
     """Register temp views so spark.sql(...) can address the tables by name."""
     for n, df in load_tables(spark, sf_dir, *names).items():
         df.createOrReplaceTempView(n)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    path: str,
+    *,
+    bucket_col: str,
+    n_buckets: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table bucketed (and sorted) by the join key — the 100-TB
+    co-located-join layout: two tables bucketed the same way join with NO
+    exchange (each task zips bucket i with bucket i), eliminating the
+    dominant shuffle of large fact-fact joins. External table at `path`
+    so no Hive metastore/warehouse dir is involved."""
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .option("path", path)
+        .saveAsTable(table_name)
+    )
