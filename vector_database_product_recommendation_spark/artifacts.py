@@ -1,0 +1,93 @@
+"""Offline-artifact cache — the reference never fits models at serving
+time: the TF-IDF vectorizer ships as a joblib pickle, the IVF index as a
+FAISS file, and every load is memoized with ``@st.cache_resource``
+(app.py:63-102). This module is the Spark analog: fit/train ONCE per
+(SparkSession, corpus), persist the fitted state, and let every query
+reuse it. At warehouse scale this corresponds to materializing the tf/df
+tables and the cluster-partitioned corpus as real tables in an offline
+job; queries only read them.
+
+Keys include the Spark applicationId so a restarted session (whose
+persisted RDDs are gone) never sees stale handles.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+_CACHE: dict[tuple, Any] = {}
+
+
+def _key(spark: SparkSession, sf_dir: str, tag: str, *params) -> tuple:
+    return (spark.sparkContext.applicationId, sf_dir, tag, *params)
+
+
+def fitted_tfidf(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    max_features: int | None = None,
+):
+    """The corpus-fitted TfidfModel over ``documents`` (joblib-pickle
+    analog, SURVEY.md section 1.4)."""
+    from vector_database_product_recommendation_spark.functions.text import STOPWORDS_EN
+    from vector_database_product_recommendation_spark.operators.tfidf import TfidfModel
+    from vector_database_product_recommendation_spark.sources.tables import load_table
+
+    k = _key(spark, sf_dir, "tfidf", max_features)
+    if k not in _CACHE:
+        docs = load_table(spark, sf_dir, "documents")
+        _CACHE[k] = TfidfModel(
+            docs, "doc_id", "text", STOPWORDS_EN, max_features=max_features
+        )
+    return _CACHE[k]
+
+
+def ivf_index(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    nlist: int | None = None,
+    seed: int = 42,
+    max_iter: int = 10,
+) -> tuple[DataFrame, DataFrame]:
+    """(centroids, assigned) for the ``embeddings`` corpus — the FAISS
+    IndexIVFFlat file analog (SURVEY.md section 2.7). ``assigned`` is
+    persisted and materialized; centroids are tiny."""
+    from vector_database_product_recommendation_spark.operators.ivf import (
+        assign_clusters,
+        train_kmeans_centroids,
+    )
+    from vector_database_product_recommendation_spark.sources.tables import load_table
+
+    k = _key(spark, sf_dir, "ivf", nlist, seed, max_iter)
+    if k not in _CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        n = emb.count()
+        eff_nlist = nlist or max(2, int(n**0.5))
+        cents = train_kmeans_centroids(
+            emb, eff_nlist, seed=seed, max_iter=max_iter
+        )
+        assigned = assign_clusters(emb, cents).persist()
+        assigned.count()
+        _CACHE[k] = (cents, assigned)
+    return _CACHE[k]
+
+
+def clear() -> None:
+    """Drop all cached artifacts (tests; session teardown)."""
+    for v in _CACHE.values():
+        try:
+            if isinstance(v, tuple):
+                for d in v:
+                    if isinstance(d, DataFrame):
+                        d.unpersist()
+            else:
+                m = v
+                for d in getattr(m, "persisted", lambda: [])():
+                    d.unpersist()
+        except Exception:
+            pass
+    _CACHE.clear()

@@ -43,26 +43,34 @@ def ann_tradeoff(
     kmeans_iter: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Regenerate the reference's nprobe trade-off table on any corpus.
 
     kmeans_iter defaults to 10: a coarse quantizer converges to useful
     centroids in a handful of iterations, and recall is measured against
-    the exact oracle anyway."""
+    the exact oracle anyway. Pass ``index=(centroids, assigned)`` to
+    evaluate a prebuilt IVF index (the reference evaluates the persisted
+    FAISS index, not a fresh train)."""
     spark = emb.sparkSession
-    n = emb.count()
-    nlist = nlist or max(2, int(n**0.5))
 
     queries = (
         emb.filter(F.col(id_col) < n_queries)
         .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec"))
     )
 
-    cents = train_kmeans_centroids(
-        emb, nlist, vec_col=vec_col, seed=seed, max_iter=kmeans_iter
-    )
-    assigned = assign_clusters(emb, cents, vec_col=vec_col).persist()
-    assigned.count()  # materialize so per-nprobe timing excludes assignment
+    if index is not None:
+        cents, assigned = index
+        owns_assigned = False
+    else:
+        n = emb.count()
+        nlist = nlist or max(2, int(n**0.5))
+        cents = train_kmeans_centroids(
+            emb, nlist, vec_col=vec_col, seed=seed, max_iter=kmeans_iter
+        )
+        assigned = assign_clusters(emb, cents, vec_col=vec_col).persist()
+        assigned.count()  # materialize so per-nprobe timing excludes assignment
+        owns_assigned = True
 
     exact = exact_knn(
         emb, queries, k, corpus_id=id_col, corpus_vec=vec_col, exclude_self=True
@@ -70,9 +78,12 @@ def ann_tradeoff(
     exact_top1 = exact.filter(F.col("rank") == 1).select(
         "query_id", F.col("neighbor_id").alias("nn1")
     )
-    n_q = queries.count()
+    qrows = queries.collect()
+    n_q = len(qrows)
 
-    out_rows = []
+    # Phase 1 — one timed materialization per nprobe (the latency metric
+    # needs its own wall-clock bracket, exactly like app.py:393-399).
+    per_probe: list[tuple[int, float, DataFrame]] = []
     for nprobe in nprobes:
         t0 = time.time()
         ivf = ivf_knn(
@@ -84,49 +95,68 @@ def ann_tradeoff(
             corpus_id=id_col,
             corpus_vec=vec_col,
             exclude_self=True,
+            query_rows=qrows,
         ).persist()
         ivf.count()
-        elapsed_ms = (time.time() - t0) * 1000.0
+        per_probe.append((nprobe, (time.time() - t0) * 1000.0, ivf))
 
-        # one fused metrics job: per (query, neighbor) mark exact-hit and
-        # nn1 membership, aggregate per query, average — the metric frames
-        # are q*k rows, so the only real cost is job count
-        marked = (
-            ivf.select("query_id", "neighbor_id", "rank")
-            .join(
-                exact.select("query_id", "neighbor_id").withColumn("hit", F.lit(1)),
-                ["query_id", "neighbor_id"],
-                "left",
+    # Phase 2 — ONE fused quality job for the whole sweep: union the
+    # (already persisted) hit lists tagged by nprobe, mark exact-set and
+    # nn1 membership, aggregate per (nprobe, query), average. The frames
+    # are len(nprobes)*q*k rows, so the sweep costs one metrics job
+    # instead of one per nprobe.
+    from functools import reduce
+
+    tagged = reduce(
+        DataFrame.unionByName,
+        [
+            ivf.select(
+                F.lit(nprobe).alias("nprobe"), "query_id", "neighbor_id", "rank"
             )
-            .join(exact_top1, "query_id")
-        )
-        per_query = marked.groupBy("query_id").agg(
-            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"),
-            F.max(
-                F.when(F.col("neighbor_id") == F.col("nn1"), 1.0 / F.col("rank"))
-            ).alias("rr"),
-        )
-        agg = (
-            queries.join(per_query, "query_id", "left")
+            for nprobe, _, ivf in per_probe
+        ],
+    )
+    marked = tagged.join(
+        exact.select("query_id", "neighbor_id").withColumn("hit", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
+    ).join(exact_top1, "query_id")
+    per_query = marked.groupBy("nprobe", "query_id").agg(
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"),
+        F.max(
+            F.when(F.col("neighbor_id") == F.col("nn1"), 1.0 / F.col("rank"))
+        ).alias("rr"),
+    )
+    stats = {
+        r["nprobe"]: r
+        for r in (
+            queries.crossJoin(
+                spark.createDataFrame([(int(p),) for p in nprobes], "nprobe int")
+            )
+            .join(per_query, ["nprobe", "query_id"], "left")
+            .groupBy("nprobe")
             .agg(
                 F.avg(F.coalesce(F.col("n_hit"), F.lit(0)) / F.lit(float(k))).alias("p"),
                 F.avg(F.coalesce(F.col("rr"), F.lit(0.0))).alias("m"),
             )
-            .first()
+            .collect()
         )
-        precision, rr = agg["p"], agg["m"]
-        ivf.unpersist()
-        out_rows.append(
-            (
-                nprobe,
-                round(float(precision), 6),
-                round(float(rr), 6),
-                round(elapsed_ms / n_q, 3),
-                n_q,
-            )
-        )
+    }
 
-    assigned.unpersist()
+    out_rows = [
+        (
+            nprobe,
+            round(float(stats[nprobe]["p"]), 6),
+            round(float(stats[nprobe]["m"]), 6),
+            round(elapsed_ms / n_q, 3),
+            n_q,
+        )
+        for nprobe, elapsed_ms, _ in per_probe
+    ]
+    for _, _, ivf in per_probe:
+        ivf.unpersist()
+    if owns_assigned:
+        assigned.unpersist()
     exact.unpersist()
     return spark.createDataFrame(
         out_rows,

@@ -101,6 +101,7 @@ def ivf_knn(
     query_vec: str = "query_vec",
     exclude_self: bool = False,
     round_decimals: int = 6,
+    query_rows: list | None = None,
 ) -> DataFrame:
     """AN4: per-query top-k over the union of its nprobe best clusters.
 
@@ -108,13 +109,17 @@ def ivf_knn(
     corpus laid out partitionBy('cluster_id'), the cluster_id IN (...)
     semi-join becomes partition pruning — only nprobe/nlist of the data is
     read per query batch.
+
+    ``query_rows``: pre-collected (query_id, query_vec) rows — callers
+    probing the same batch repeatedly (the nprobe sweep) pass them once
+    instead of re-running the collect job per call.
     """
     spark = assigned.sparkSession
     cent = centroids.orderBy("cluster_id").collect()
     cmat = np.stack([np.asarray(r["centroid"], dtype=np.float64) for r in cent])
     cids = np.array([r["cluster_id"] for r in cent])
 
-    qrows = queries.select(query_id, query_vec).collect()
+    qrows = query_rows if query_rows is not None else queries.select(query_id, query_vec).collect()
     if not qrows:
         raise ValueError("empty query batch")
     probe_rows = []

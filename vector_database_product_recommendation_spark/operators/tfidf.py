@@ -90,6 +90,11 @@ class TfidfModel:
             F.count(F.lit(1)).alias("df")
         ).persist()
         self.n = docs.agg(F.count(F.lit(1)).alias("n"))
+        self._weights_memo: dict[int, DataFrame] = {}
+
+    def persisted(self) -> list[DataFrame]:
+        """Every persisted DataFrame this model owns (for teardown)."""
+        return [self.tf, self.dfreq, *self._weights_memo.values()]
 
     def _raw(self, tf: DataFrame, keys: list[str]) -> DataFrame:
         return (
@@ -106,20 +111,24 @@ class TfidfModel:
 
     def weights(self, round_decimals: int = 6) -> DataFrame:
         """l2-normalized smooth-idf TF-IDF, long sparse form
-        (doc_id, term, weight)."""
-        raw = self._raw(self.tf, ["doc_id", "term"])
-        norms = raw.groupBy("doc_id").agg(
-            F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
-        )
-        return (
-            raw.join(norms, "doc_id")
-            .select(
-                "doc_id",
-                "term",
-                F.round(F.col("w") / F.col("nrm"), round_decimals).alias("weight"),
+        (doc_id, term, weight). Persisted per rounding level so repeated
+        consumers (search, hybrid, the weights query itself) pay the
+        normalize shuffle once — the reference's tfidf_matrix.joblib."""
+        if round_decimals not in self._weights_memo:
+            raw = self._raw(self.tf, ["doc_id", "term"])
+            norms = raw.groupBy("doc_id").agg(
+                F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
             )
-            .orderBy("doc_id", "term")
-        )
+            self._weights_memo[round_decimals] = (
+                raw.join(norms, "doc_id")
+                .select(
+                    "doc_id",
+                    "term",
+                    F.round(F.col("w") / F.col("nrm"), round_decimals).alias("weight"),
+                )
+                .persist()
+            )
+        return self._weights_memo[round_decimals].orderBy("doc_id", "term")
 
     def transform_query(self, query_text: str) -> DataFrame:
         """One query string -> (term, qw) under the corpus-fitted idf.
@@ -172,12 +181,14 @@ def tfidf_search(
     text_col: str = "text",
     stopwords: tuple[str, ...] = STOPWORDS_EN,
     round_decimals: int = 6,
+    model: TfidfModel | None = None,
 ) -> DataFrame:
     """F2: sparse cosine = sum over shared terms of qw*weight, top-k.
 
     The scored join broadcasts the query terms; the corpus side never
-    shuffles before the (tiny) per-query top-k."""
-    model = TfidfModel(docs, id_col, text_col, stopwords)
+    shuffles before the (tiny) per-query top-k. Pass a prefitted
+    ``model`` to skip the fit (the joblib-artifact serving path)."""
+    model = model or TfidfModel(docs, id_col, text_col, stopwords)
     w = model.weights(round_decimals=12)
     qw = model.transform_query(query_text)
     return (
@@ -203,6 +214,7 @@ def hybrid_search(
     vec_col: str = "embedding",
     stopwords: tuple[str, ...] = STOPWORDS_EN,
     round_decimals: int = 6,
+    model: TfidfModel | None = None,
 ) -> DataFrame:
     """F3+F4 (app.py:202-210): hybrid = alpha*dense_dot + (1-alpha)*
     minmax(tfidf_cosine), replicating the reference's quirks exactly
@@ -212,7 +224,7 @@ def hybrid_search(
     from vector_database_product_recommendation_spark.functions.vectors import dot
 
     # sparse side — cosine for every doc (missing -> 0.0, as sklearn yields)
-    model = TfidfModel(docs, id_col, text_col, stopwords)
+    model = model or TfidfModel(docs, id_col, text_col, stopwords)
     w = model.weights(round_decimals=12)
     qw = model.transform_query(query_text)
     sparse = (

@@ -540,7 +540,6 @@ from vector_database_product_recommendation_spark.operators.lineage import docs_
 from vector_database_product_recommendation_spark.operators.tfidf import (  # noqa: E402
     hybrid_search,
     tfidf_search,
-    tfidf_weights,
 )
 
 _CATALOG_ORACLE = """
@@ -606,7 +605,9 @@ ORDER BY doc_id, term
 
 @register("tfidf_weights", _TFIDF_WEIGHTS_ORACLE)
 def _tfidf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tfidf_weights(load_table(spark, sf_dir, "documents"))
+    from vector_database_product_recommendation_spark.artifacts import fitted_tfidf
+
+    return fitted_tfidf(spark, sf_dir).weights()
 
 
 _TFIDF_SEARCH_ORACLE = f"""
@@ -620,9 +621,11 @@ GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20
 
 @register("tfidf_search", _TFIDF_SEARCH_ORACLE)
 def _tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_database_product_recommendation_spark.artifacts import fitted_tfidf
+
     docs = load_table(spark, sf_dir, "documents")
     qtext = docs.filter(F.col("doc_id") == 7).select("text").first()[0]
-    return tfidf_search(qtext, docs, k=20)
+    return tfidf_search(qtext, docs, k=20, model=fitted_tfidf(spark, sf_dir))
 
 
 _HYBRID_ORACLE = f"""
@@ -649,7 +652,11 @@ def _hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
     qtext = docs.filter(F.col("doc_id") == 7).select("text").first()[0]
-    return hybrid_search(qtext, 7, docs, emb, k=20, alpha=0.7)
+    from vector_database_product_recommendation_spark.artifacts import fitted_tfidf
+
+    return hybrid_search(
+        qtext, 7, docs, emb, k=20, alpha=0.7, model=fitted_tfidf(spark, sf_dir)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -658,11 +665,7 @@ def _hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from vector_database_product_recommendation_spark.functions.embed import free_text_search  # noqa: E402
 from vector_database_product_recommendation_spark.operators.eval import ann_tradeoff  # noqa: E402
-from vector_database_product_recommendation_spark.operators.ivf import (  # noqa: E402
-    assign_clusters,
-    ivf_knn,
-    train_kmeans_centroids,
-)
+from vector_database_product_recommendation_spark.operators.ivf import ivf_knn  # noqa: E402
 
 _FREE_TEXT_Q = "spark fast table join query scan stream window"
 
@@ -710,11 +713,10 @@ def _free_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("ivf_knn_probe")
 def _ivf_knn_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_database_product_recommendation_spark.artifacts import ivf_index
+
     emb = load_table(spark, sf_dir, "embeddings")
-    n = emb.count()
-    nlist = max(2, int(n**0.5))
-    cents = train_kmeans_centroids(emb, nlist, seed=42, max_iter=10)
-    assigned = assign_clusters(emb, cents)
+    cents, assigned = ivf_index(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -723,8 +725,16 @@ def _ivf_knn_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("ann_tradeoff")
 def _ann_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_database_product_recommendation_spark.artifacts import ivf_index
+
     emb = load_table(spark, sf_dir, "embeddings")
-    return ann_tradeoff(emb, n_queries=32, k=10, nprobes=(1, 2, 5, 10, 20))
+    return ann_tradeoff(
+        emb,
+        n_queries=32,
+        k=10,
+        nprobes=(1, 2, 5, 10, 20),
+        index=ivf_index(spark, sf_dir),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -893,7 +903,6 @@ def _dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus count, alphabetical tie-break) — the single-window rank over the
 # term-count aggregate is tiny (vocab-sized), so the unpartitioned window
 # is safe at any corpus scale.
-from vector_database_product_recommendation_spark.operators.tfidf import TfidfModel  # noqa: E402
 from vector_database_product_recommendation_spark.functions.text import STOPWORDS_EN as _SW  # noqa: E402
 
 _TFIDF_CAPPED_ORACLE = f"""
@@ -920,8 +929,9 @@ ORDER BY doc_id, term
 
 @register("tfidf_weights_capped", _TFIDF_CAPPED_ORACLE)
 def _tfidf_weights_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return TfidfModel(docs, "doc_id", "text", _SW, max_features=20).weights()
+    from vector_database_product_recommendation_spark.artifacts import fitted_tfidf
+
+    return fitted_tfidf(spark, sf_dir, max_features=20).weights()
 
 
 _FORMAT_ORACLE = """
