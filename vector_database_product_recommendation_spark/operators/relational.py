@@ -241,3 +241,115 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.asc_nulls_first("l_returnflag"), F.asc_nulls_first("l_linestatus")
         )
     )
+
+
+def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join (two fact tables, four dims) + group-by.
+
+    region(filtered) ⋈ nation ⋈ customer ⋈ orders(filtered) ⋈ lineitem
+    ⋈ supplier, keeping only local (customer nation == supplier nation)
+    flow, revenue per nation. Dims are broadcast (region/nation always,
+    customer/supplier under AQE's threshold at small SF); the only big
+    shuffle is orders ⋈ lineitem on orderkey. Join *order* is Catalyst's
+    call — the declared plan is the star, not a hand-scheduled tree.
+    """
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(supp, (li.l_suppkey == supp.s_suppkey) & (supp.s_nationkey == cust.c_nationkey))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: outer join + double aggregation (histogram).
+
+    customer LEFT JOIN orders (with an anti-filter on priority inside the
+    join condition), count orders per customer, then histogram the counts.
+    Two shuffles: custkey (first agg), c_count (second agg — tiny).
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = cust.join(
+        orders,
+        (cust.c_custkey == orders.o_custkey) & (orders.o_orderpriority != "1-URGENT"),
+        "left",
+    ).groupBy("c_custkey").agg(F.count("o_orderkey").alias("c_count"))
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-n per group: dense_rank over revenue within each brand.
+
+    The grouped-top-k generalization of the reference's single-list top-k
+    (K1): one shuffle on p_brand for the window, rank <= 3 filter. At scale
+    the window partitions by a bounded key (brands), so no single-partition
+    sort bottleneck; skewed brands are still one partition each — for
+    per-key top-k over skewed keys, pre-aggregate (partkey) first, as done
+    here, so window input is one row per (brand, part).
+    """
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window
+
+    rev = (
+        li.groupBy("l_partkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .join(part, F.col("l_partkey") == part.p_partkey)
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.desc("revenue"), F.asc("p_partkey"))
+    return (
+        rev.withColumn("rk", F.dense_rank().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("p_brand", "p_partkey", "p_name", "revenue", "rk")
+        .orderBy("p_brand", "rk", "p_partkey")
+    )
+
+
+def nation_revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation: revenue by (nation, order priority) with all
+    subtotal combinations — the grouping-sets generalization of
+    revenue_rollup. One shuffle; grouping() disambiguates NULL group keys
+    from NULL data (none here, but the pattern matters at scale where
+    "unknown" is a real value)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = orders.join(cust, orders.o_custkey == cust.c_custkey).join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).filter(F.col("n_nationkey") < 5)
+    return (
+        joined.cube("n_name", "o_orderpriority")
+        .agg(
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "total_price",
+            "n_orders",
+        )
+        .orderBy("nation", "priority")
+    )

@@ -1117,3 +1117,120 @@ def _events_user_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("click_only").alias("segment"), "user_id"
     )
     return both.unionByName(only).orderBy("segment", "user_id")
+
+
+# ---------------------------------------------------------------------------
+# Relational breadth round 2: multi-way star join, outer-join histogram,
+# grouped top-k, CUBE (SURVEY.md section 2.2/2.4/2.5 generalizations)
+# ---------------------------------------------------------------------------
+
+_Q5_ORACLE = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM customer
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+register("q5_regional_revenue", _Q5_ORACLE)(R.q5_regional_revenue)
+
+_Q13_ORACLE = """
+SELECT c_count, count(*) AS custdist FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+register("q13_order_count_distribution", _Q13_ORACLE)(R.q13_order_count_distribution)
+
+_TOPN_ORACLE = """
+WITH rev AS (
+  SELECT l_partkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+  FROM lineitem GROUP BY l_partkey),
+j AS (SELECT p_brand, p_partkey, p_name, revenue
+      FROM rev JOIN part ON l_partkey = p_partkey),
+r AS (SELECT *, dense_rank() OVER (PARTITION BY p_brand
+                                   ORDER BY revenue DESC, p_partkey) AS rk
+      FROM j)
+SELECT p_brand, p_partkey, p_name, revenue, rk
+FROM r WHERE rk <= 3 ORDER BY p_brand, rk, p_partkey
+"""
+
+register("top_parts_per_brand", _TOPN_ORACLE)(R.top_parts_per_brand)
+
+_CUBE_ORACLE = """
+SELECT coalesce(n_name, 'ALL') AS nation,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       round(sum(o_totalprice), 4) AS total_price,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE n_nationkey < 5
+GROUP BY CUBE (n_name, o_orderpriority)
+ORDER BY nation, priority
+"""
+
+register("nation_revenue_cube", _CUBE_ORACLE)(R.nation_revenue_cube)
+
+
+# Per-user running totals: the batch twin of the
+# applyInPandasWithState stream op (streaming/events.py), as cumulative
+# window + lag delta. Partitioned by user_id -> one shuffle, no global sort.
+_RUNNING_ORACLE = """
+SELECT user_id, event_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+         AS running_value,
+       round(value - coalesce(lag(value) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id), 0.0), 6)
+         AS delta_value
+FROM events WHERE user_id < 50
+ORDER BY user_id, ts, event_id
+"""
+
+
+@register("events_user_running_total", _RUNNING_ORACLE)
+def _events_user_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(
+            F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 6
+        ).alias("running_value"),
+        F.round(
+            F.col("value") - F.coalesce(F.lag("value").over(w), F.lit(0.0)), 6
+        ).alias("delta_value"),
+    ).orderBy("user_id", "ts", "event_id").drop("ts")
+
+
+# Approximate distinct (HyperLogLog++): the sketch path for 100 TB distinct
+# counts — one pass, mergeable partial sketches, no exact-distinct
+# re-shuffle. Rows-only by design (sketch estimates differ across engines);
+# tests/test_relational2.py bounds the relative error against the exact
+# count (rsd=0.05 default).
+@register("events_approx_uniques")
+def _events_approx_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.count_distinct(F.col("user_id")).alias("exact_users"),
+        )
+        .orderBy("event_type")
+    )
