@@ -119,3 +119,66 @@ def test_stateful_running_totals_equals_batch(spark, sf_dir, tmp_path):
     for uid, (n, s) in batch.items():
         assert got[uid][0] == n
         assert abs(got[uid][1] - s) < 1e-6
+
+
+def test_stream_static_join_equals_batch(spark, sf_dir, tmp_path):
+    from vector_database_product_recommendation_spark.streaming.events import (
+        enriched_segment_counts,
+        stream_enriched_segment_counts,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    batch = {
+        (r["window_start"], r["c_mktsegment"]): (r["n_events"], r["sum_value"])
+        for r in enriched_segment_counts(events, customer).collect()
+    }
+    assert batch  # the join must land for the equivalence to mean anything
+
+    stage = tmp_path / "events_enrich"
+    stage.mkdir()
+    (stage / "events.parquet").symlink_to(f"{sf_dir}/events.parquet")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    q = (
+        stream_enriched_segment_counts(spark, str(stage), customer, schema=raw_schema)
+        .writeStream.format("memory")
+        .queryName("enriched_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .start()
+    )
+    q.awaitTermination(120)
+    stream = {
+        (r["window_start"], r["c_mktsegment"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM enriched_counts").collect()
+    }
+    assert stream == batch
+
+
+def test_stream_dedup_within_watermark(spark, sf_dir, tmp_path):
+    from vector_database_product_recommendation_spark.streaming.events import (
+        stream_dedup_events,
+    )
+
+    # stage the SAME file twice -> every event_id arrives duplicated
+    stage = tmp_path / "events_dup"
+    stage.mkdir()
+    (stage / "a.parquet").symlink_to(f"{sf_dir}/events.parquet")
+    (stage / "b.parquet").symlink_to(f"{sf_dir}/events.parquet")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    q = (
+        stream_dedup_events(spark, str(stage), schema=raw_schema)
+        .writeStream.format("memory")
+        .queryName("deduped_events")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt4"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM deduped_events"
+    ).first()
+    expect = load_table(spark, sf_dir, "events").count()
+    assert got["n"] == got["d"] == expect

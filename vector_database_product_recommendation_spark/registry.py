@@ -1234,3 +1234,23 @@ def _events_approx_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# Stream-static enrichment join (batch twin; streaming equivalence in
+# tests/test_streaming_multimodal.py): events x broadcast customer dim,
+# hourly counts per market segment.
+_ENRICHED_ORACLE = """
+SELECT date_trunc('hour', ts) AS window_start, c_mktsegment,
+       count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@register("events_enriched_segment_counts", _ENRICHED_ORACLE)
+def _events_enriched_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_database_product_recommendation_spark.streaming.events import enriched_segment_counts
+
+    return enriched_segment_counts(
+        load_table(spark, sf_dir, "events"), load_table(spark, sf_dir, "customer")
+    )

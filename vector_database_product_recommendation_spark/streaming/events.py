@@ -142,3 +142,74 @@ def user_running_totals_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def enriched_segment_counts(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Batch form of the stream-static enrichment join: events joined to
+    the customer dimension on user_id == c_custkey, windowed counts per
+    (hour, market segment). The dim side is broadcast — at 100 TB the
+    event stream never shuffles for the join, only for the (tiny-keyed)
+    window aggregate."""
+    dim = customer.select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    return (
+        events.join(F.broadcast(dim), "user_id")
+        .groupBy(
+            F.window("ts", "1 hour").getField("start").alias("window_start"),
+            "c_mktsegment",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .orderBy("window_start", "c_mktsegment")
+    )
+
+
+def stream_enriched_segment_counts(
+    spark: SparkSession,
+    events_dir: str,
+    customer: DataFrame,
+    *,
+    schema,
+    watermark: str = "10 minutes",
+):
+    """Stream-static join + windowed agg: the streaming side reads events,
+    the static customer dim is broadcast into every micro-batch (Spark
+    re-resolves the static side per trigger, picking up dim updates).
+    Same logical plan as enriched_segment_counts minus the final sort."""
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    dim = customer.select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    return (
+        stream.withWatermark("ts", watermark)
+        .join(F.broadcast(dim), "user_id")
+        .groupBy(
+            F.window("ts", "1 hour").getField("start").alias("window_start"),
+            "c_mktsegment",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+
+
+def stream_dedup_events(
+    spark: SparkSession,
+    events_dir: str,
+    *,
+    schema,
+    watermark: str = "30 minutes",
+):
+    """Streaming exact dedup on event_id: dropDuplicatesWithinWatermark
+    keeps one row per id seen within the watermark horizon — the
+    at-least-once -> exactly-once repair stage of an ingestion pipeline.
+    State is one entry per distinct id inside the horizon (bounded, unlike
+    global dropDuplicates on an unbounded stream)."""
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
