@@ -204,3 +204,13 @@ def test_text_functions_property_fuzz(spark):
 
         expect = _h.md5(" ".join(sorted(set(t.lower().split()))).encode()).hexdigest()
         assert r["f"] == expect
+
+
+def test_corpus_prep_funnel_monotone(spark, sf_dir):
+    from vector_database_product_recommendation_spark.operators.corpus import corpus_prep_pipeline
+
+    rows = {r["stage"]: r for r in corpus_prep_pipeline(spark, sf_dir).collect()}
+    assert set(rows) == {"raw", "lang_quality_gate", "fingerprint_dedup"}
+    assert rows["raw"]["n_docs"] >= rows["lang_quality_gate"]["n_docs"] >= rows["fingerprint_dedup"]["n_docs"]
+    assert rows["fingerprint_dedup"]["n_docs"] > 0
+    assert rows["raw"]["total_tokens"] >= rows["lang_quality_gate"]["total_tokens"]

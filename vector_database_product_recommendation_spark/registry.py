@@ -1254,3 +1254,58 @@ def _events_enriched_segment_counts(spark: SparkSession, sf_dir: str) -> DataFra
     return enriched_segment_counts(
         load_table(spark, sf_dir, "events"), load_table(spark, sf_dir, "customer")
     )
+
+
+# Corpus-prep composite pipeline (lang gate -> quality gate -> fingerprint
+# dedup -> funnel): the training-data job shape, every stage mirrored in
+# the oracle from the same fragments as doc_text_profile / lang_id_pred /
+# doc_fingerprint.
+_PIPELINE_ORACLE = f"""
+WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents),
+sc AS (SELECT doc_id, {_LANG_COLS} FROM t),
+lang AS (
+  SELECT doc_id,
+         CASE WHEN greatest({", ".join(_LANG_NAMES)}) > 0 THEN {_LANG_CASE}
+              ELSE 'und' END AS lang
+  FROM sc),
+p AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         CASE WHEN len(toks) > 0
+              THEN list_sum(list_transform(toks, x -> len(x)))::DOUBLE / len(toks)
+              ELSE 0.0 END AS mtl,
+         CASE WHEN len(toks) > 0
+              THEN len(list_filter(toks, x -> list_contains([{_SW_LIST}], x)))::DOUBLE / len(toks)
+              ELSE 0.0 END AS swr,
+         len(regexp_replace(lower(text), '\\s', '', 'g')) AS n_ch,
+         len(regexp_replace(regexp_replace(lower(text), '\\s', '', 'g'), '[^a-z0-9]', '', 'g')) AS n_al,
+         md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint
+  FROM t),
+q AS (
+  SELECT doc_id, n_tokens, fingerprint,
+         CASE WHEN n_tokens BETWEEN 5 AND 2000 THEN 0.25 ELSE 0.0 END
+       + CASE WHEN mtl BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END
+       + CASE WHEN swr >= 0.01 THEN 0.25 ELSE 0.0 END
+       + CASE WHEN (CASE WHEN n_ch > 0 THEN (n_ch - n_al)::DOUBLE / n_ch ELSE 0.0 END) <= 0.3
+              THEN 0.25 ELSE 0.0 END AS quality
+  FROM p),
+gated AS (
+  SELECT q.* FROM q JOIN lang USING (doc_id)
+  WHERE lang.lang = 'en' AND q.quality >= 0.75),
+deduped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+    FROM gated) WHERE rn = 1)
+SELECT 'raw' AS stage, count(*) AS n_docs, sum(n_tokens) AS total_tokens FROM q
+UNION ALL
+SELECT 'lang_quality_gate', count(*), sum(n_tokens) FROM gated
+UNION ALL
+SELECT 'fingerprint_dedup', count(*), sum(n_tokens) FROM deduped
+"""
+
+
+@register("corpus_prep_pipeline", _PIPELINE_ORACLE)
+def _corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_database_product_recommendation_spark.operators.corpus import corpus_prep_pipeline
+
+    return corpus_prep_pipeline(spark, sf_dir)
