@@ -42,7 +42,14 @@ def corpus_prep_pipeline(
     min_quality: float = 0.75,
 ) -> DataFrame:
     """Returns the funnel: (stage, n_docs, total_tokens) for the raw
-    corpus, the post-gate corpus, and the post-dedup corpus."""
+    corpus, the post-gate corpus, and the post-dedup corpus.
+
+    Single-pass shape: the profile projection runs ONCE (Spark does not
+    share subplans across union branches, so a three-branch funnel would
+    profile the corpus three times); gate and dedup-survivor become
+    boolean flags, and the funnel is one conditional aggregation. The
+    fingerprint window sorts gate-survivors first, so rank 1 is the
+    lowest gated doc_id — non-gated rows never win a group."""
     docs = load_table(spark, sf_dir, "documents")
     prof = docs.select(
         "doc_id",
@@ -52,21 +59,26 @@ def corpus_prep_pipeline(
         doc_fingerprint("text").alias("fingerprint"),
     )
 
-    gated = prof.filter(
-        (F.col("lang") == F.lit(lang)) & (F.col("quality") >= F.lit(min_quality))
+    g = (F.col("lang") == F.lit(lang)) & (F.col("quality") >= F.lit(min_quality))
+    w = Window.partitionBy("fingerprint").orderBy(F.desc("g"), "doc_id")
+    flagged = (
+        prof.withColumn("g", g)
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("d", F.col("g") & (F.col("rn") == 1))
     )
-    w = Window.partitionBy("fingerprint").orderBy("doc_id")
-    deduped = gated.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-
-    def stage(df: DataFrame, name: str) -> DataFrame:
-        return df.agg(
-            F.lit(name).alias("stage"),
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tokens").alias("total_tokens"),
+    totals = flagged.agg(
+        F.count(F.lit(1)).alias("raw_docs"),
+        F.sum("n_tokens").alias("raw_toks"),
+        F.sum(F.when(F.col("g"), 1).otherwise(0)).alias("gate_docs"),
+        F.sum(F.when(F.col("g"), F.col("n_tokens"))).alias("gate_toks"),
+        F.sum(F.when(F.col("d"), 1).otherwise(0)).alias("dedup_docs"),
+        F.sum(F.when(F.col("d"), F.col("n_tokens"))).alias("dedup_toks"),
+    )
+    return totals.select(
+        F.expr(
+            "stack(3, 'raw', raw_docs, raw_toks, "
+            "'lang_quality_gate', gate_docs, gate_toks, "
+            "'fingerprint_dedup', dedup_docs, dedup_toks) "
+            "AS (stage, n_docs, total_tokens)"
         )
-
-    return (
-        stage(prof, "raw")
-        .unionByName(stage(gated, "lang_quality_gate"))
-        .unionByName(stage(deduped, "fingerprint_dedup"))
     )
