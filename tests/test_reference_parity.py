@@ -83,3 +83,20 @@ def test_review_embeddings_unit_norm(spark):
         F.min("n"), F.max("n")
     ).first()
     assert abs(rows[0] - 1.0) < 1e-3 and abs(rows[1] - 1.0) < 1e-3
+
+
+def test_category_multivalue_filter(reviews):
+    from vector_database_product_recommendation_spark.sources.reference import (
+        filter_by_category,
+        rebuild_products,
+    )
+
+    products = rebuild_products(reviews).cache()
+    got = {r["id"] for r in filter_by_category(products, "Kindle Store").select("id").collect()}
+    # python-side oracle over the same rows
+    expect = {
+        r["id"]
+        for r in products.select("id", "categories").collect()
+        if "Kindle Store" in [c.strip() for c in (r["categories"] or "").split(",")]
+    }
+    assert got == expect and got  # non-empty: the category exists in the corpus
