@@ -63,6 +63,21 @@ def main() -> None:
             print(f"# bench error in {name}: {e}", file=sys.stderr)
 
     total = round(sum(v for v in timings.values() if v >= 0), 4)
+
+    # Derived throughput framing (BASELINE.md "Rebuild benchmark framing"):
+    # the reference reports per-query ms on a single node; the Spark-native
+    # equivalent is batch KNN throughput — scored candidate pairs per
+    # second of the exact KNN batch (8 queries x corpus rows).
+    extras: dict[str, float] = {}
+    try:
+        n_corpus = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+        t_knn = timings.get("knn_exact_batch", -1.0)
+        if t_knn > 0:
+            extras["knn_scored_pairs_per_sec"] = round(8 * n_corpus / t_knn, 1)
+            extras["knn_ms_per_query_batch8"] = round(t_knn / 8 * 1000.0, 2)
+    except Exception:
+        pass
+
     print(
         json.dumps(
             {
@@ -72,6 +87,9 @@ def main() -> None:
                 "queries": timings,
                 "sf": _sf_of(SF_DIR),
                 "startup_sec": round(startup, 2),
+                **extras,
+                "framing": "per-query numbers are batch wall-clock on local[32]; "
+                "see BASELINE.md 'Rebuild benchmark framing'",
             }
         )
     )
