@@ -91,3 +91,35 @@ def clear() -> None:
         except Exception:
             pass
     _CACHE.clear()
+
+
+def ivf_store(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    nlist: int | None = None,
+    seed: int = 42,
+    max_iter: int = 10,
+) -> tuple[DataFrame, DataFrame]:
+    """(centroids, store) where `store` is the corpus REOPENED from a
+    cluster-partitioned parquet layout (write_ivf_store) — probing filters
+    on cluster_id become native partition pruning, the on-disk
+    inverted-file. Written once per (session, corpus) under a scratch dir;
+    at warehouse scale this is a real table written by the offline
+    indexing job."""
+    import tempfile
+
+    from vector_database_product_recommendation_spark.operators.ivf import (
+        read_ivf_store,
+        write_ivf_store,
+    )
+
+    k = _key(spark, sf_dir, "ivf_store", nlist, seed, max_iter)
+    if k not in _CACHE:
+        cents, assigned = ivf_index(
+            spark, sf_dir, nlist=nlist, seed=seed, max_iter=max_iter
+        )
+        path = tempfile.mkdtemp(prefix="ivf_store_")
+        write_ivf_store(assigned, path)
+        _CACHE[k] = (cents, read_ivf_store(spark, path))
+    return _CACHE[k]

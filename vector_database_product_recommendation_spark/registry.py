@@ -1309,3 +1309,90 @@ def _corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_database_product_recommendation_spark.operators.corpus import corpus_prep_pipeline
 
     return corpus_prep_pipeline(spark, sf_dir)
+
+
+# Full E2 lifecycle (app.py:306-316): item-to-item KNN -> metadata gather
+# (J2 positional gather becomes a join on the minted id) -> projection +
+# preview truncation (P5/P8, format_results shape) — the reference's
+# complete serving path as ONE declarative plan.
+_RECOMMEND_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id = 7
+),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+pairs AS (
+  SELECT q.query_id, c.neighbor_id,
+         round(list_inner_product(q.qv, c.cv), 6) AS score
+  FROM q CROSS JOIN c
+  WHERE c.neighbor_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT r.rank, r.neighbor_id AS doc_id, r.score,
+       d.lang, d.source,
+       substring(d.text, 1, 40) || '...' AS preview
+FROM ranked r JOIN documents d ON r.neighbor_id = d.doc_id
+WHERE r.rank <= 10
+ORDER BY r.rank
+"""
+
+
+@register("recommend_similar_docs", _RECOMMEND_ORACLE)
+def _recommend_similar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    hits = item_to_item(emb, 7, 10)
+    return (
+        hits.join(docs, hits.neighbor_id == docs.doc_id)
+        .select(
+            "rank",
+            F.col("neighbor_id").alias("doc_id"),
+            "score",
+            "lang",
+            "source",
+            F.concat(F.substring("text", 1, 40), F.lit("...")).alias("preview"),
+        )
+        .orderBy("rank")
+    )
+
+
+# Full E1 lifecycle (app.py:281-303): metadata prefilter (stage 1) ahead of
+# the encoder/scoring stage (stage 2) — the filter is a plain Column
+# predicate, so Catalyst pushes it into the parquet scan BEFORE the hash-
+# embed kernel sees a row (the reference's candidate_indices() ordering,
+# here enforced by the optimizer instead of by hand).
+_FREE_TEXT_FILTERED_ORACLE = _FREE_TEXT_ORACLE.replace(
+    "AS toks FROM documents)",
+    "AS toks FROM documents WHERE lang = 'en' AND n_chars >= 50)",
+)
+
+
+@register("free_text_filtered_search", _FREE_TEXT_FILTERED_ORACLE)
+def _free_text_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("lang") == "en") & (F.col("n_chars") >= 50)
+    )
+    return free_text_search(_FREE_TEXT_Q, docs, k=10)
+
+
+# On-disk inverted file: the probe runs against the cluster-partitioned
+# parquet store, so `cluster_id IN (probed)` is native PARTITION PRUNING —
+# only nprobe/nlist of the files are opened (asserted in
+# tests/test_plans.py::test_ivf_store_partition_pruning). Rows-only:
+# KMeans assignment is iterative; exactness is pinned by the
+# ivf(nprobe=nlist)==exact metamorphic test.
+@register("ivf_store_pruned_probe")
+def _ivf_store_pruned_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_database_product_recommendation_spark.artifacts import ivf_store
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, store = ivf_store(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_knn(store, cents, q, 5, nprobe=5)
