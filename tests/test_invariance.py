@@ -48,3 +48,21 @@ def test_minhash_lsh_partition_invariant(spark, sf_dir):
     a = _rows(minhash_lsh_pairs(docs.repartition(2), threshold=0.5))
     b = _rows(minhash_lsh_pairs(docs.repartition(9), threshold=0.5))
     assert a == b
+
+
+def test_running_total_partition_invariant(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+
+    def running(df):
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        return df.select(
+            "user_id",
+            "event_id",
+            F.round(
+                F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 6
+            ).alias("running_value"),
+        ).orderBy("user_id", "event_id")
+
+    assert _rows(running(ev.repartition(1))) == _rows(running(ev.repartition(17)))

@@ -95,3 +95,23 @@ def test_free_text_self_retrieval(spark, sf_dir):
     top = free_text_search(qtext, docs, k=3).collect()
     assert top[0]["neighbor_id"] == 5
     assert abs(top[0]["score"] - 1.0) < 1e-4
+
+
+def test_ann_tradeoff_exact_at_full_probe(spark, sf_dir):
+    """nprobe == nlist scans every inverted list, so the harness must
+    report precision == MRR == 1.0 — the eval-harness self-consistency
+    pin (the reference's own ground-truth discipline, SURVEY.md §5)."""
+    from vector_database_product_recommendation_spark.operators.eval import ann_tradeoff
+    from vector_database_product_recommendation_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    nlist = 8
+    out = {
+        r["nprobe"]: r
+        for r in ann_tradeoff(
+            emb, n_queries=16, k=5, nprobes=(1, nlist), nlist=nlist
+        ).collect()
+    }
+    assert out[nlist]["precision_at_k"] == 1.0
+    assert out[nlist]["mrr"] == 1.0
+    assert out[1]["precision_at_k"] <= 1.0
