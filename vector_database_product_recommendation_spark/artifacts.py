@@ -123,3 +123,22 @@ def ivf_store(
         write_ivf_store(assigned, path)
         _CACHE[k] = (cents, read_ivf_store(spark, path))
     return _CACHE[k]
+
+
+def encoded_documents(spark: SparkSession, sf_dir: str, *, dim: int = 384) -> DataFrame:
+    """Precomputed hash-embeddings of the documents corpus — the
+    review_embeddings.npy analog (the reference never encodes the corpus
+    at serving time; only the query string is encoded per request,
+    app.py:169-171). Persisted (vec_id, embedding), one UDF pass per
+    (session, corpus)."""
+    from vector_database_product_recommendation_spark.functions.embed import encode_documents
+    from vector_database_product_recommendation_spark.sources.tables import load_table
+
+    k = _key(spark, sf_dir, "doc_emb", dim)
+    if k not in _CACHE:
+        emb = encode_documents(
+            load_table(spark, sf_dir, "documents"), dim=dim
+        ).persist()
+        emb.count()
+        _CACHE[k] = emb
+    return _CACHE[k]

@@ -663,7 +663,6 @@ def _hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Encoder UDF + free-text retrieval (M3, E1 vector path)
 # ---------------------------------------------------------------------------
 
-from vector_database_product_recommendation_spark.functions.embed import free_text_search  # noqa: E402
 from vector_database_product_recommendation_spark.operators.eval import ann_tradeoff  # noqa: E402
 from vector_database_product_recommendation_spark.operators.ivf import ivf_knn  # noqa: E402
 
@@ -701,7 +700,17 @@ SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 10 ORDER BY 
 
 @register("free_text_search", _FREE_TEXT_ORACLE)
 def _free_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return free_text_search(_FREE_TEXT_Q, load_table(spark, sf_dir, "documents"), k=10)
+    # serving path: corpus embeddings are a prebuilt artifact
+    # (review_embeddings.npy analog); only the query encodes per request.
+    from vector_database_product_recommendation_spark.artifacts import encoded_documents
+    from vector_database_product_recommendation_spark.functions.embed import hash_embed_py
+    from vector_database_product_recommendation_spark.operators.knn import exact_knn
+
+    corpus = encoded_documents(spark, sf_dir)
+    q = spark.createDataFrame(
+        [(0, hash_embed_py(_FREE_TEXT_Q))], "query_id long, query_vec array<double>"
+    )
+    return exact_knn(corpus, q, 10)
 
 
 # ---------------------------------------------------------------------------
@@ -1374,10 +1383,24 @@ _FREE_TEXT_FILTERED_ORACLE = _FREE_TEXT_ORACLE.replace(
 
 @register("free_text_filtered_search", _FREE_TEXT_FILTERED_ORACLE)
 def _free_text_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").filter(
-        (F.col("lang") == "en") & (F.col("n_chars") >= 50)
+    # stage 1: metadata prefilter (pushed into the documents scan) as a
+    # semi-join against the prebuilt embedding artifact; stage 2: scored
+    # join + top-k. Mirrors the reference: candidate_indices() filters
+    # metadata, then gathers PREcomputed vectors (app.py:156-188).
+    from vector_database_product_recommendation_spark.artifacts import encoded_documents
+    from vector_database_product_recommendation_spark.functions.embed import hash_embed_py
+    from vector_database_product_recommendation_spark.operators.knn import exact_knn
+
+    cand = (
+        load_table(spark, sf_dir, "documents")
+        .filter((F.col("lang") == "en") & (F.col("n_chars") >= 50))
+        .select(F.col("doc_id").alias("vec_id"))
     )
-    return free_text_search(_FREE_TEXT_Q, docs, k=10)
+    corpus = encoded_documents(spark, sf_dir).join(cand, "vec_id")
+    q = spark.createDataFrame(
+        [(0, hash_embed_py(_FREE_TEXT_Q))], "query_id long, query_vec array<double>"
+    )
+    return exact_knn(corpus, q, 10)
 
 
 # On-disk inverted file: the probe runs against the cluster-partitioned
