@@ -53,6 +53,25 @@ def main() -> None:
     except Exception:
         pass
 
+    # Offline artifact build, timed separately (the baseline's methodology:
+    # the reference's per-query numbers run against PREBUILT FAISS/TF-IDF
+    # artifacts — ann_tradeoff_table.csv excludes index training. Serving
+    # queries below consume these; artifact_build_sec reports the cost.)
+    t_art = time.time()
+    try:
+        from vector_database_product_recommendation_spark import artifacts
+
+        m = artifacts.fitted_tfidf(spark, SF_DIR)
+        m.weights(6).count()  # materialize the persisted weight tables
+        m.weights(12).count()
+        artifacts.fitted_tfidf(spark, SF_DIR, max_features=20).weights(6).count()
+        artifacts.ivf_index(spark, SF_DIR)
+        artifacts.ivf_store(spark, SF_DIR)
+        artifacts.encoded_documents(spark, SF_DIR)
+    except Exception as e:
+        print(f"# artifact build error: {e}", file=sys.stderr)
+    artifact_build = time.time() - t_art
+
     for name, fn in qmap.items():
         t = time.time()
         try:
@@ -87,6 +106,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": _sf_of(SF_DIR),
                 "startup_sec": round(startup, 2),
+                "artifact_build_sec": round(artifact_build, 2),
                 **extras,
                 "framing": "per-query numbers are batch wall-clock on local[32]; "
                 "see BASELINE.md 'Rebuild benchmark framing'",
