@@ -70,7 +70,12 @@ def ivf_index(
         cents = train_kmeans_centroids(
             emb, eff_nlist, seed=seed, max_iter=max_iter
         )
-        assigned = assign_clusters(emb, cents).persist()
+        # right-size the cached partitions (~25k vectors each): a tiny
+        # corpus spread over defaultParallelism partitions pays
+        # per-task overhead on every probe; at 100 TB the same rule
+        # yields thousands of partitions. coalesce (no shuffle).
+        n_parts = max(1, min(int(spark.sparkContext.defaultParallelism), n // 25_000 + 1))
+        assigned = assign_clusters(emb, cents).coalesce(n_parts).persist()
         assigned.count()
         _CACHE[k] = (cents, assigned)
     return _CACHE[k]
