@@ -214,3 +214,36 @@ def test_corpus_prep_funnel_monotone(spark, sf_dir):
     assert rows["raw"]["n_docs"] >= rows["lang_quality_gate"]["n_docs"] >= rows["fingerprint_dedup"]["n_docs"]
     assert rows["fingerprint_dedup"]["n_docs"] > 0
     assert rows["raw"]["total_tokens"] >= rows["lang_quality_gate"]["total_tokens"]
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    """Schleimer et al. guarantee: two documents sharing a token run of
+    length >= w + k - 1 (= 8 for k=4, w=5) share at least one
+    fingerprint; disjoint-vocabulary documents share none."""
+    from vector_database_product_recommendation_spark.operators.dedup import winnow_fingerprints_df
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (0, f"intro words here {shared} closing remarks"),
+        (1, f"{shared} completely different tail content"),
+        (2, "unrelated vocabulary entirely separate tokens nine ten eleven"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = winnow_fingerprints_df(docs).collect()
+    by_doc = {}
+    for r in fp:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[0] & by_doc[1]  # shared run -> shared fingerprint
+    assert not (by_doc[0] & by_doc[2])
+    assert not (by_doc[1] & by_doc[2])
+
+
+def test_winnowing_short_doc_fingerprint(spark):
+    from vector_database_product_recommendation_spark.operators.dedup import winnow_fingerprints_df
+
+    docs = spark.createDataFrame(
+        [(0, "one two three"), (1, "one two three")], "doc_id long, text string"
+    )
+    fp = winnow_fingerprints_df(docs).collect()
+    assert len(fp) == 2  # one whole-stream fingerprint each
+    assert fp[0]["fp"] == fp[1]["fp"]

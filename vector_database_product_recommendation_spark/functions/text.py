@@ -166,3 +166,4 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
         lambda i: F.array_join(F.slice(toks, i, n), " "),
     )
     return F.array_distinct(F.when(k > 0, ngrams).otherwise(F.array()))
+

@@ -557,3 +557,63 @@ def embedding_near_dup_lsh(
         .filter(F.col("score") >= threshold)
         .orderBy("id_a", "id_b")
     )
+
+
+def winnow_fingerprints_df(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 5,
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
+    MOSS algorithm): hash every k-gram of the token stream, keep the MIN
+    of each w-wide window of k-gram hashes, dedup per document. Guarantees
+    any shared token run of length >= w+k-1 shares a fingerprint.
+
+    Shape: explode k-gram positions -> one md5 per k-gram (computed ONCE;
+    a nested array-transform formulation re-evaluates the k-gram array per
+    window element and goes quadratic) -> rolling min as a window frame
+    (ROWS BETWEEN CURRENT AND w-1 FOLLOWING) -> distinct. One shuffle,
+    keyed on the document id. Documents shorter than k tokens fingerprint
+    to the hash of their whole token stream; documents with fewer than w
+    k-grams to the min k-gram hash (the i=1 window truncates at the end,
+    yielding exactly that).
+
+    Returns (doc_id, fp) sorted.
+    """
+    from pyspark.sql import Window
+
+    from vector_database_product_recommendation_spark.functions.text import hash60, tokens_ws
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), tokens_ws(text_col).alias("toks")
+    ).withColumn("n", F.size("toks"))
+
+    short = base.filter(F.col("n") < k).select(
+        "doc_id", hash60(F.array_join("toks", " ")).alias("fp")
+    )
+
+    grams = (
+        base.filter(F.col("n") >= k)
+        .select(
+            "doc_id",
+            (F.col("n") - F.lit(k - 1)).alias("m"),
+            F.explode(F.sequence(F.lit(1), F.col("n") - F.lit(k - 1))).alias("i"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            "m",
+            "i",
+            hash60(F.array_join(F.slice("toks", F.col("i"), k), " ")).alias("h"),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, w - 1)
+    fps = (
+        grams.withColumn("wmin", F.min("h").over(win))
+        .filter(F.col("i") <= F.greatest(F.col("m") - F.lit(w - 1), F.lit(1)))
+        .select("doc_id", F.col("wmin").alias("fp"))
+    )
+    return short.unionByName(fps).distinct().orderBy("doc_id", "fp")

@@ -1419,3 +1419,75 @@ def _ivf_store_pruned_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return ivf_knn(store, cents, q, 5, nprobe=5)
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer et al., SIGMOD'03) — rolling k-gram
+# hash + per-window min; the MOSS document-fingerprinting algorithm as
+# pure array expressions in both engines.
+# ---------------------------------------------------------------------------
+
+_WINNOW_CTE = f"""
+t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+base AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+kg AS (
+  SELECT doc_id,
+         CASE WHEN n < 4 THEN [{_h60("array_to_string(toks, ' ')")}]
+              ELSE list_transform(range(1, n - 2),
+                                  i -> {_h60("array_to_string(toks[i:i+3], ' ')")})
+         END AS kgrams
+  FROM base),
+wins AS (
+  SELECT doc_id,
+         CASE WHEN len(kgrams) < 5 THEN [list_min(kgrams)]
+              ELSE list_transform(range(1, len(kgrams) - 3),
+                                  j -> list_min(kgrams[j:j+4]))
+         END AS wins
+  FROM kg),
+fp AS (SELECT doc_id, unnest(list_sort(list_distinct(wins))) AS fp FROM wins)
+"""
+
+_WINNOW_SIG_ORACLE = f"""
+WITH {_WINNOW_CTE}
+SELECT doc_id, fp FROM fp ORDER BY doc_id, fp
+"""
+
+
+@register("winnow_fingerprints", _WINNOW_SIG_ORACLE)
+def _winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_database_product_recommendation_spark.operators.dedup import winnow_fingerprints_df
+
+    return winnow_fingerprints_df(load_table(spark, sf_dir, "documents"))
+
+
+# Near-dup candidates: documents sharing >= 3 winnowing fingerprints
+# (inverted-index self-join on fp — the MOSS match step; hot fingerprints
+# capped like the n-gram jaccard stop-shingles).
+_WINNOW_PAIRS_ORACLE = f"""
+WITH {_WINNOW_CTE},
+cold AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 100),
+f AS (SELECT fp.* FROM fp JOIN cold USING (fp))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 3
+ORDER BY id_a, id_b
+"""
+
+
+@register("dedup_winnowing", _WINNOW_PAIRS_ORACLE)
+def _dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_database_product_recommendation_spark.operators.dedup import winnow_fingerprints_df
+
+    fp = winnow_fingerprints_df(load_table(spark, sf_dir, "documents"))
+    cold = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= 100
+    ).select("fp")
+    f = fp.join(cold, "fp")
+    a, b = f.alias("a"), f.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+        .orderBy("id_a", "id_b")
+    )
