@@ -1491,3 +1491,61 @@ def _dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_shared") >= 3)
         .orderBy("id_a", "id_b")
     )
+
+
+# Hypertable-style continuous rollup: minute partials -> hour -> day, each
+# level RE-AGGREGATING the previous level's partials (sum-of-sums /
+# sum-of-counts) instead of rescanning raw events — the continuous-
+# aggregate pattern: at 100 TB the raw scan happens once, higher
+# resolutions aggregate geometrically shrinking inputs. The oracle mirrors
+# the same hierarchy so the float summation tree matches.
+_HYPER_ORACLE = """
+WITH minute AS (
+  SELECT date_trunc('minute', ts) AS bucket, event_type,
+         count(*) AS n_events, sum(value) AS sum_value
+  FROM events GROUP BY 1, 2),
+hour AS (
+  SELECT date_trunc('hour', bucket) AS bucket, event_type,
+         sum(n_events) AS n_events, sum(sum_value) AS sum_value
+  FROM minute GROUP BY 1, 2),
+day AS (
+  SELECT date_trunc('day', bucket) AS bucket, event_type,
+         sum(n_events) AS n_events, sum(sum_value) AS sum_value
+  FROM hour GROUP BY 1, 2)
+SELECT 'minute' AS resolution, bucket, event_type, n_events, round(sum_value, 4) AS sum_value FROM minute
+UNION ALL
+SELECT 'hour', bucket, event_type, n_events, round(sum_value, 4) FROM hour
+UNION ALL
+SELECT 'day', bucket, event_type, n_events, round(sum_value, 4) FROM day
+ORDER BY resolution, bucket, event_type
+"""
+
+
+@register("hypertable_rollup", _HYPER_ORACLE)
+def _hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    minute = ev.groupBy(
+        F.date_trunc("minute", "ts").alias("bucket"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+    hour = minute.groupBy(
+        F.date_trunc("hour", "bucket").alias("bucket"), "event_type"
+    ).agg(F.sum("n_events").alias("n_events"), F.sum("sum_value").alias("sum_value"))
+    day = hour.groupBy(
+        F.date_trunc("day", "bucket").alias("bucket"), "event_type"
+    ).agg(F.sum("n_events").alias("n_events"), F.sum("sum_value").alias("sum_value"))
+
+    def lvl(df: DataFrame, name: str) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("resolution"),
+            "bucket",
+            "event_type",
+            "n_events",
+            F.round("sum_value", 4).alias("sum_value"),
+        )
+
+    return (
+        lvl(minute, "minute")
+        .unionByName(lvl(hour, "hour"))
+        .unionByName(lvl(day, "day"))
+        .orderBy("resolution", "bucket", "event_type")
+    )
