@@ -1753,3 +1753,42 @@ register(
     FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
 )(RB.order_status_pivot)
+
+
+# ---------------------------------------------------------------------------
+# Format sources/sinks: CSV / JSON round-trips, partitioned sink pruning.
+# The Spark side aggregates its own round-tripped copy; the oracle reads
+# the canonical parquet — any fidelity loss in the format layer breaks
+# the hash match.
+# ---------------------------------------------------------------------------
+
+from vector_database_product_recommendation_spark.sources import formats as FMT  # noqa: E402
+
+register(
+    "csv_roundtrip_catalog",
+    f"""
+    SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+           sum({_h60("text")} % 1000000007) AS text_checksum
+    FROM documents GROUP BY lang, source ORDER BY lang, source
+    """,
+)(FMT.csv_roundtrip_catalog)
+
+register(
+    "json_roundtrip_events",
+    """
+    SELECT event_type, count(*) AS n_events,
+           round(sum(value), 6) AS sum_value,
+           max(ts) AS max_ts
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)(FMT.json_roundtrip_events)
+
+register(
+    "partitioned_orders_pruned",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders,
+           round(sum(o_totalprice), 4) AS total_price
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)(FMT.partitioned_orders_pruned)
