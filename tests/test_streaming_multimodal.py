@@ -182,3 +182,37 @@ def test_stream_dedup_within_watermark(spark, sf_dir, tmp_path):
     ).first()
     expect = load_table(spark, sf_dir, "events").count()
     assert got["n"] == got["d"] == expect
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir, tmp_path):
+    from vector_database_product_recommendation_spark.streaming.events import (
+        click_purchase_attribution,
+        stream_click_purchase_attribution,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    batch = {
+        (r["purchase_id"], r["click_id"]): (r["purchase_ts"], r["click_ts"], r["purchase_value"])
+        for r in click_purchase_attribution(events).collect()
+    }
+
+    stage = tmp_path / "events_ss"
+    stage.mkdir()
+    (stage / "events.parquet").symlink_to(f"{sf_dir}/events.parquet")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    joined = stream_click_purchase_attribution(spark, str(stage), schema=raw_schema)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_attrib")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ss"))
+        .start()
+    )
+    q.awaitTermination(120)
+    stream = {
+        (r["purchase_id"], r["click_id"]): (r["purchase_ts"], r["click_ts"], r["purchase_value"])
+        for r in spark.sql("SELECT * FROM ss_attrib").collect()
+    }
+    assert stream == batch
+    assert batch  # non-vacuous: the join produces rows at this SF

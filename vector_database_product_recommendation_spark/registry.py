@@ -1792,3 +1792,33 @@ register(
     GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
 )(FMT.partitioned_orders_pruned)
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream join (batch twin; streaming equivalence in
+# tests/test_streaming_multimodal.py::test_stream_stream_join_equals_batch)
+# ---------------------------------------------------------------------------
+
+from vector_database_product_recommendation_spark.streaming.events import (  # noqa: E402
+    click_purchase_attribution,
+)
+
+_ATTRIB_ORACLE = """
+WITH clicks AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+                FROM events WHERE event_type = 'click'),
+purchases AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+                     value AS purchase_value
+              FROM events WHERE event_type = 'purchase')
+SELECT purchase_id, p.user_id, purchase_ts, click_id, click_ts,
+       round(purchase_value, 6) AS purchase_value
+FROM purchases p JOIN clicks c
+  ON p.user_id = c.user_id
+ AND p.purchase_ts >= c.click_ts
+ AND p.purchase_ts < c.click_ts + INTERVAL 10 MINUTE
+ORDER BY purchase_id, click_id
+"""
+
+
+@register("events_click_attribution", _ATTRIB_ORACLE)
+def _events_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return click_purchase_attribution(load_table(spark, sf_dir, "events"))

@@ -213,3 +213,83 @@ def stream_dedup_events(
     return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+def click_purchase_attribution(
+    events: DataFrame, *, horizon: str = "10 minutes"
+) -> DataFrame:
+    """Batch form of the stream-stream join: each purchase attributed to
+    every click by the same user within the preceding `horizon`.
+
+    At 100 TB both sides shuffle once on user_id; the interval predicate
+    evaluates inside the join. The streaming twin
+    (stream_click_purchase_attribution) runs the identical condition with
+    watermarks bounding the buffered state.
+    """
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    cond = (
+        (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") < F.col("click_ts") + F.expr(f"INTERVAL {horizon}"))
+    )
+    return (
+        purchases.join(clicks, on=["user_id"], how="inner")
+        .filter(cond)
+        .select(
+            "purchase_id", "user_id", "purchase_ts", "click_id", "click_ts",
+            F.round("purchase_value", 6).alias("purchase_value"),
+        )
+        .orderBy("purchase_id", "click_id")
+    )
+
+
+def stream_click_purchase_attribution(
+    spark: SparkSession,
+    events_dir: str,
+    *,
+    schema,
+    horizon: str = "10 minutes",
+    watermark: str = "30 minutes",
+):
+    """Stream-stream inner join with watermarks on BOTH sides.
+
+    The interval condition (purchase within [click, click+horizon)) plus
+    the two watermarks lets Spark expire buffered click state `horizon +
+    watermark` behind the stream clock — bounded state on an unbounded
+    stream, the requirement for any production stream-stream join.
+    """
+    def side(filter_type: str) -> DataFrame:
+        s = spark.readStream.schema(schema).parquet(events_dir)
+        if dict(s.dtypes).get("ts") == "bigint":
+            s = s.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return s.filter(F.col("event_type") == filter_type)
+
+    clicks = side("click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    purchases = side("purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("user_id") == F.col("click_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") < F.col("click_ts") + F.expr(f"INTERVAL {horizon}"))
+    )
+    return purchases.join(clicks, cond, "inner").select(
+        "purchase_id", "user_id", "purchase_ts", "click_id", "click_ts",
+        F.round("purchase_value", 6).alias("purchase_value"),
+    )
