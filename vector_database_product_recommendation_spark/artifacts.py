@@ -147,3 +147,28 @@ def encoded_documents(spark: SparkSession, sf_dir: str, *, dim: int = 384) -> Da
         emb.count()
         _CACHE[k] = emb
     return _CACHE[k]
+
+
+def pq_index(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    m: int = 8,
+    ksub: int = 16,
+    seed: int = 42,
+):
+    """(codebooks, codes) for the ``embeddings`` corpus — the PQ codebook
+    + code-table pair, trained/encoded once per (session, corpus). codes
+    is persisted; codebooks are kilobytes of driver-side numpy (at
+    warehouse scale: a broadcast table written by the offline job)."""
+    from vector_database_product_recommendation_spark.operators.pq import encode_pq, train_pq
+    from vector_database_product_recommendation_spark.sources.tables import load_table
+
+    k = _key(spark, sf_dir, "pq", m, ksub, seed)
+    if k not in _CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        books = train_pq(emb, m=m, ksub=ksub, seed=seed)
+        codes = encode_pq(emb, books).persist()
+        codes.count()
+        _CACHE[k] = (books, codes)
+    return _CACHE[k]

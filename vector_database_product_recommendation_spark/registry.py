@@ -1822,3 +1822,24 @@ ORDER BY purchase_id, click_id
 @register("events_click_attribution", _ATTRIB_ORACLE)
 def _events_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return click_purchase_attribution(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization ANN (compressed-corpus scale path). Rows-only by
+# design (codebooks come from iterative k-means); the exactness guarantee
+# is the lossless-regime test pq(ksub>=unique) == exact and the recall
+# audit in tests/test_pq.py.
+# ---------------------------------------------------------------------------
+
+
+@register("pq_knn_refined")
+def _pq_knn_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_database_product_recommendation_spark.artifacts import pq_index
+    from vector_database_product_recommendation_spark.operators.pq import pq_knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books, codes = pq_index(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return pq_knn(codes, books, q, 5, emb=emb, refine_factor=8)
