@@ -378,3 +378,94 @@ def order_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnsRenamed({"F": "n_f", "O": "n_o", "P": "n_p"})
         .orderBy("o_orderpriority")
     )
+
+
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: mid-string LIKE over part names, profit rolled up
+    by supplier nation and order year.
+
+    '%widget%' cannot prune the scan (no prefix) — it evaluates inside
+    codegen on the broadcast part dim, so the big tables still only
+    shuffle on their join keys.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(
+            F.broadcast(part.filter(F.col("p_name").like("%widget%"))
+                        .select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(orders.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supp.select("s_suppkey", "s_nationkey"),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(_rev()), 4).alias("profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def q20_heavy_red_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested semi-join chain.
+
+    Suppliers having (semi) a 1997 lineitem of a red part with quantity
+    above a per-(part,supplier) threshold. Both inner sets reduce before
+    the semi joins: parts filter -> broadcast; lineitem aggregates to one
+    row per (partkey, suppkey) before joining supplier.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+    nation = load_table(spark, sf_dir, "nation")
+    red = part.filter(F.col("p_name").like("red%")).select("p_partkey")
+    heavy = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 50.0)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+        .orderBy("s_suppkey")
+    )
+
+
+def orders_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: two projections of orders standing in for
+    an old ingest generation (no o_orderpriority) and a new one, combined
+    with unionByName(allowMissingColumns) — missing columns null-fill,
+    matching by NAME not position (positional union is the classic silent
+    corruption at schema boundaries).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    old_gen = orders.filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    new_gen = orders.filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    merged = old_gen.unionByName(new_gen, allowMissingColumns=True)
+    return (
+        merged.groupBy(
+            F.coalesce("o_orderpriority", F.lit("unknown")).alias("priority")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        )
+        .orderBy("priority")
+    )

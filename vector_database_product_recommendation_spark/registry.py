@@ -1843,3 +1843,119 @@ def _pq_knn_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return pq_knn(codes, books, q, 5, emb=emb, refine_factor=8)
+
+
+# ---------------------------------------------------------------------------
+# Relational breadth round 4: Q9/Q20 shapes, schema-evolution union,
+# z-score anomaly flagging, approximate percentile sketch
+# ---------------------------------------------------------------------------
+
+register(
+    "q9_profit_by_nation_year",
+    """
+    SELECT n_name AS nation, extract(year FROM o_orderdate) AS o_year,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS profit
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY n_name, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)(RB.q9_profit_by_nation_year)
+
+register(
+    "q20_heavy_red_suppliers",
+    """
+    SELECT s_suppkey, s_name, n_name AS nation
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        AND l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+      GROUP BY l_partkey, l_suppkey
+      HAVING sum(l_quantity) > 50.0)
+    ORDER BY s_suppkey
+    """,
+)(RB.q20_heavy_red_suppliers)
+
+register(
+    "orders_schema_evolution_union",
+    """
+    WITH old_gen AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, NULL AS o_orderpriority
+      FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+    new_gen AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'),
+    merged AS (SELECT * FROM old_gen UNION ALL SELECT * FROM new_gen)
+    SELECT coalesce(o_orderpriority, 'unknown') AS priority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 4) AS total_price
+    FROM merged GROUP BY 1 ORDER BY priority
+    """,
+)(RB.orders_schema_evolution_union)
+
+# z-score outlier flagging: per-type mean/std from ONE aggregate pass
+# (population std, matching DuckDB stddev_pop), events above |z|>3.
+_ZSCORE_ORACLE = """
+WITH stats AS (
+  SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sigma
+  FROM events GROUP BY event_type)
+SELECT event_id, e.event_type,
+       round((value - mu) / sigma, 6) AS zscore
+FROM events e JOIN stats s ON e.event_type = s.event_type
+WHERE sigma > 0 AND abs((value - mu) / sigma) > 3.0
+ORDER BY event_id
+"""
+
+
+@register("events_zscore_outliers", _ZSCORE_ORACLE)
+def _events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    stats = events.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_pop("value").alias("sigma")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        events.join(F.broadcast(stats), "event_type")
+        .filter((F.col("sigma") > 0) & (F.abs(z) > 3.0))
+        .select("event_id", "event_type", F.round(z, 6).alias("zscore"))
+        .orderBy("event_id")
+    )
+
+
+# approx_percentile (KLL-like sketch): mergeable partials, no sort — the
+# unbounded-stream / 100-TB form of events_value_percentiles. Rows-only by
+# design (sketch internals are engine-specific); the error bound vs the
+# exact interpolated percentile is pinned in tests/test_sampling_sketch.py.
+@register("events_approx_percentiles")
+def _events_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.approx_percentile("value", F.lit(0.5), F.lit(10000)).alias("p50_approx"),
+            F.approx_percentile("value", F.lit(0.99), F.lit(10000)).alias("p99_approx"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# Seeded stratified sample: RNG membership is engine-specific -> rows-only;
+# the statistical properties are tested, and the aggregate here exposes
+# per-stratum sampled counts for the driver's stability check.
+@register("events_stratified_sample")
+def _events_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_database_product_recommendation_spark.operators.sampling import stratified_sample
+
+    events = load_table(spark, sf_dir, "events")
+    frac = {"click": 0.5, "view": 0.1, "purchase": 1.0, "error": 1.0, "signup": 1.0}
+    s = stratified_sample(events, "event_type", frac)
+    return (
+        s.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_sampled"))
+        .orderBy("event_type")
+    )
