@@ -1959,3 +1959,82 @@ def _events_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_sampled"))
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Warehouse maintenance ops: snapshot upsert (MERGE semantics via full
+# outer join) and CDC latest-state compaction
+# ---------------------------------------------------------------------------
+
+# The upsert invariant IS the oracle: merging the pre-1999 snapshot with
+# the 1999+ delta must equal the one-shot aggregate over all orders.
+_UPSERT_ORACLE = """
+SELECT o_custkey AS custkey, count(*) AS n_orders,
+       round(sum(o_totalprice), 4) AS total_price
+FROM orders GROUP BY o_custkey ORDER BY custkey
+"""
+
+
+@register("snapshot_upsert", _UPSERT_ORACLE)
+def _snapshot_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO emulated Spark-first: additive full-outer join of the
+    existing snapshot and the incremental delta, coalescing both sides.
+    One shuffle on the key for each aggregate + one for the join; at
+    100 TB the snapshot and delta would share bucketing on custkey and
+    the join would be exchange-free (see write_bucketed)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1999-01-01").cast("timestamp")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy(F.col("o_custkey").alias("custkey")).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("total_price"),
+        )
+
+    base = rollup(orders.filter(F.col("o_orderdate") < cutoff))
+    delta = rollup(orders.filter(F.col("o_orderdate") >= cutoff))
+    b, d = base.alias("b"), delta.alias("d")
+    merged = b.join(d, "custkey", "full_outer").select(
+        "custkey",
+        (F.coalesce(F.col("b.n_orders"), F.lit(0))
+         + F.coalesce(F.col("d.n_orders"), F.lit(0))).alias("n_orders"),
+        F.round(
+            F.coalesce(F.col("b.total_price"), F.lit(0.0))
+            + F.coalesce(F.col("d.total_price"), F.lit(0.0)),
+            4,
+        ).alias("total_price"),
+    )
+    return merged.orderBy("custkey")
+
+
+_CDC_ORACLE = """
+SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+       ts AS last_ts, round(value, 6) AS last_value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rk
+      FROM events)
+WHERE rk = 1 ORDER BY user_id
+"""
+
+
+@register("cdc_latest_state", _CDC_ORACLE)
+def _cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log -> current state: keep each key's newest record
+    (row_number over (ts, event_id) DESC). One shuffle on the key; ties
+    broken deterministically by event_id so both engines agree."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        events.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("ts").alias("last_ts"),
+            F.round("value", 6).alias("last_value"),
+        )
+        .orderBy("user_id")
+    )
