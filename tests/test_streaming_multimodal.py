@@ -216,3 +216,47 @@ def test_stream_stream_join_equals_batch(spark, sf_dir, tmp_path):
     }
     assert stream == batch
     assert batch  # non-vacuous: the join produces rows at this SF
+
+
+def test_resize_payload_truncates_and_pads(spark, sf_dir):
+    from vector_database_product_recommendation_spark.operators.multimodal import resize_payload
+
+    media = attach_payload(load_table(spark, sf_dir, "documents"))
+    out = {r["doc_id"]: r for r in resize_payload(media, target_bytes=64).collect()}
+    src = {r["doc_id"]: bytes(r["payload"]) for r in media.collect()}
+    assert set(out) == set(src)
+    for i, r in out.items():
+        got = bytes(r["payload"])
+        assert len(got) == 64 and r["meta"]["n_bytes"] == 64
+        assert r["meta"]["orig_bytes"] == len(src[i])
+        expect = src[i][:64].ljust(64, b"\x00")
+        assert got == expect
+
+
+def test_audio_frames_cover_payload(spark, sf_dir):
+    from vector_database_product_recommendation_spark.operators.multimodal import (
+        audio_frame_windows,
+    )
+
+    media = attach_payload(load_table(spark, sf_dir, "documents"))
+    frames = audio_frame_windows(media, frame_bytes=100, hop_bytes=50).collect()
+    by_doc: dict[int, list] = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    sizes = {r["doc_id"]: r["meta"]["n_bytes"] for r in media.collect()}
+    for doc, rs in by_doc.items():
+        rs.sort(key=lambda r: r["frame_start"])
+        assert rs[0]["frame_start"] == 0
+        # hop coverage: consecutive frames overlap by frame-hop bytes
+        for a, b in zip(rs, rs[1:]):
+            assert b["frame_start"] - a["frame_start"] == 50
+        # librosa-style framing: last full frame starts at <= n-100, the
+        # dropped tail is shorter than one hop
+        n = sizes[doc]
+        assert rs[-1]["frame_end"] <= n
+        if n >= 100:
+            assert n - (rs[-1]["frame_start"] + 100) < 50
+            for r in rs:
+                assert len(bytes(r["frame_payload"])) == 100
+        else:  # payload shorter than one frame -> single clamped frame
+            assert len(rs) == 1 and rs[0]["frame_end"] == n

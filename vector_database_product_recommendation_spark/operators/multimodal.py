@@ -110,3 +110,80 @@ def frame_sample(
     partition-local sampling shape (no shuffle); a real video table would
     sample frames inside the decoder instead."""
     return media.filter((F.col(id_col) % every_n) == 0)
+
+
+def resize_payload(
+    media: DataFrame,
+    *,
+    target_bytes: int = 256,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Image-resize-shaped op: payload -> fixed-size payload + updated meta.
+
+    The stand-in transform truncates/zero-pads to ``target_bytes`` (a real
+    resize is also bytes -> smaller bytes, row-local); meta records both
+    the original and new size, the shape a real thumbnailing pipeline
+    carries. Pure mapInPandas — payloads never leave the task, output
+    partitioning == input partitioning.
+    """
+    meta_t = media.schema[
+        "meta"
+    ].dataType.simpleString() if "meta" in media.columns else None
+    out_schema = (
+        f"{id_col} {media.schema[id_col].dataType.simpleString()}, "
+        f"payload binary, meta struct<format:string,n_bytes:int,orig_bytes:int>"
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            resized, metas = [], []
+            for p in pdf[payload_col]:
+                b = bytes(p)
+                out = b[:target_bytes].ljust(target_bytes, b"\x00")
+                resized.append(out)
+                metas.append(
+                    {"format": "text/plain", "n_bytes": len(out), "orig_bytes": len(b)}
+                )
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": resized, "meta": metas})
+
+    _ = meta_t  # original meta is recomputed, not propagated
+    return media.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
+def audio_frame_windows(
+    media: DataFrame,
+    *,
+    frame_bytes: int = 100,
+    hop_bytes: int = 50,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Audio-framing-shaped op: one row per (doc, frame) with byte offsets.
+
+    Overlapping frame boundaries come from `sequence` + explode — pure
+    Column expressions, no UDF, so the frame fan-out happens JVM-side and
+    the payload column is sliced with `substring` (binary-safe) only for
+    frames that survive any upstream filter. The real audio version swaps
+    byte offsets for sample offsets; the plan shape is identical.
+    """
+    n = F.col("meta.n_bytes")
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(n - F.lit(frame_bytes), F.lit(0)),
+        F.lit(hop_bytes),
+    )
+    return (
+        media.withColumn("frame_start", F.explode(starts))
+        .select(
+            id_col,
+            "frame_start",
+            F.least(F.col("frame_start") + frame_bytes, n).alias("frame_end"),
+            F.expr(
+                f"substring(payload, frame_start + 1, {frame_bytes})"
+            ).alias("frame_payload"),
+        )
+    )

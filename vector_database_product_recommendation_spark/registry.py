@@ -2038,3 +2038,65 @@ def _cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal round 2: resize-shaped payload transform and audio framing
+# ---------------------------------------------------------------------------
+
+from vector_database_product_recommendation_spark.operators.multimodal import (  # noqa: E402
+    audio_frame_windows,
+    resize_payload,
+)
+
+# Frame fan-out is expression-only on both engines; md5 of each sliced
+# frame pins the slicing semantics byte-for-byte. DuckDB cannot substring
+# BLOBs, but the corpus is pure ASCII at every SF (verified:
+# octet_length(encode(text)) == length(text) for all rows), so VARCHAR
+# substring slices the identical bytes that Spark's binary substring sees.
+_AUDIO_FRAMES_ORACLE = """
+WITH m AS (SELECT doc_id, text,
+                  octet_length(encode(text))::INT AS n_bytes
+           FROM documents),
+fr AS (SELECT doc_id, n_bytes,
+              unnest(range(0, greatest(n_bytes - 100, 0) + 1, 50))::INT AS frame_start
+       FROM m)
+SELECT fr.doc_id, frame_start,
+       least(frame_start + 100, fr.n_bytes) AS frame_end,
+       md5(substring(m.text, frame_start + 1, 100)) AS frame_md5
+FROM fr JOIN m ON fr.doc_id = m.doc_id
+ORDER BY fr.doc_id, frame_start
+"""
+
+
+@register("multimodal_audio_frames", _AUDIO_FRAMES_ORACLE)
+def _multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_database_product_recommendation_spark.operators.multimodal import attach_payload
+
+    media = attach_payload(load_table(spark, sf_dir, "documents"))
+    frames = audio_frame_windows(media, frame_bytes=100, hop_bytes=50)
+    return frames.select(
+        "doc_id",
+        "frame_start",
+        "frame_end",
+        F.md5("frame_payload").alias("frame_md5"),
+    ).orderBy("doc_id", "frame_start")
+
+
+_RESIZE_ORACLE = """
+SELECT doc_id, 256 AS n_bytes,
+       octet_length(encode(text))::INT AS orig_bytes
+FROM documents ORDER BY doc_id
+"""
+
+
+@register("multimodal_resize_meta", _RESIZE_ORACLE)
+def _multimodal_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_database_product_recommendation_spark.operators.multimodal import attach_payload
+
+    media = attach_payload(load_table(spark, sf_dir, "documents"))
+    resized = resize_payload(media, target_bytes=256)
+    return resized.select(
+        "doc_id", F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.orig_bytes").alias("orig_bytes"),
+    ).orderBy("doc_id")
