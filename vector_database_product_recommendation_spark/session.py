@@ -33,6 +33,10 @@ def get_spark(app_name: str = "vdb-rec-spark", cpus: str | None = None) -> Spark
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # scan metadata (PushedFilters/ReadSchema) renders truncated at 100
+        # chars by default AND the rendering is cached on first use — widen
+        # it up front so plan audits (plans/audit.py) always see full lists
+        .config("spark.sql.maxMetadataStringLength", "10000")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
