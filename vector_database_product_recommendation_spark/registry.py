@@ -2100,3 +2100,65 @@ def _multimodal_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("meta.n_bytes").alias("n_bytes"),
         F.col("meta.orig_bytes").alias("orig_bytes"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# SQL API surface: the same engine drives spark.sql() over registered
+# views — identical plans to the DataFrame forms (Catalyst sees one
+# logical plan language), proven by the hash oracle on a star join and a
+# date-function rollup.
+# ---------------------------------------------------------------------------
+
+from vector_database_product_recommendation_spark.sources.tables import register_views  # noqa: E402
+
+_SQL_STAR = """
+SELECT n_name AS nation,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, nation
+"""
+
+
+@register("sql_api_star_join", _SQL_STAR)
+def _sql_api_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    return spark.sql(_SQL_STAR)
+
+
+# Day-of-week numbering differs across engines (Spark dayofweek: 1=Sun;
+# DuckDB dow: 0=Sun) — normalize both to ISO day names via format codes.
+_DOW_ORACLE = """
+SELECT dayname(o_orderdate) AS dow, count(*) AS n_orders,
+       round(avg(o_totalprice), 4) AS avg_price,
+       round(avg(date_diff('day', o_orderdate,
+                           o_orderdate + INTERVAL 30 DAY)), 6) AS avg_horizon_days
+FROM orders GROUP BY dow ORDER BY dow
+"""
+
+
+@register("orders_by_day_of_week", _DOW_ORACLE)
+def _orders_by_day_of_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.date_format("o_orderdate", "EEEE").alias("dow"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+            F.round(
+                F.avg(
+                    F.datediff(
+                        F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"),
+                        F.col("o_orderdate"),
+                    )
+                ),
+                6,
+            ).alias("avg_horizon_days"),
+        )
+        .orderBy("dow")
+    )
