@@ -2162,3 +2162,61 @@ def _orders_by_day_of_week(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow")
     )
+
+
+# ---------------------------------------------------------------------------
+# Map-type props + Python UDTF surface
+# ---------------------------------------------------------------------------
+
+# JSON props as a first-class map column: from_json -> explode -> agg.
+_PROPS_MAP_ORACLE = """
+SELECT k AS key, count(*) AS n,
+       round(avg(CAST(json_extract_string(props, '$.' || k) AS INT)), 6) AS avg_val
+FROM (SELECT unnest(json_keys(props)) AS k, props FROM events)
+GROUP BY k ORDER BY k
+"""
+
+
+@register("events_props_map_explode", _PROPS_MAP_ORACLE)
+def _events_props_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return (
+        events.select(F.explode(m).alias("key", "value"))
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_val"),
+        )
+        .orderBy("key")
+    )
+
+
+# Python UDTF (lateral table function): context-window chunking of the
+# document corpus — oracle mirrors the chunk slicing with list ops.
+_CHUNK_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+c AS (SELECT doc_id, len(toks) AS n_toks,
+             unnest(range(0, greatest((len(toks) + 39) // 40, 1))) AS chunk_idx,
+             toks
+      FROM t WHERE len(toks) > 0)
+SELECT doc_id, chunk_idx::INT AS chunk_idx,
+       array_to_string(toks[chunk_idx*40 + 1 : chunk_idx*40 + 40], ' ') AS chunk,
+       least(40, n_toks - chunk_idx*40)::INT AS n_words
+FROM c ORDER BY doc_id, chunk_idx
+"""
+
+
+@register("doc_context_chunks", _CHUNK_ORACLE)
+def _doc_context_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_database_product_recommendation_spark.functions.tablefuncs import register_udtfs
+
+    register_views(spark, sf_dir, "documents")
+    register_udtfs(spark)
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.chunk, c.n_words
+        FROM documents d, LATERAL chunk_words(d.text, 40) c
+        ORDER BY d.doc_id, c.chunk_idx
+        """
+    )
