@@ -247,3 +247,31 @@ def test_winnowing_short_doc_fingerprint(spark):
     fp = winnow_fingerprints_df(docs).collect()
     assert len(fp) == 2  # one whole-stream fingerprint each
     assert fp[0]["fp"] == fp[1]["fp"]
+
+
+def test_connected_components_transitive(spark):
+    from vector_database_product_recommendation_spark.operators.dedup import connected_components
+
+    # chain 1-2, 2-3 plus isolated 4: {1,2,3} share min-label 1, 4 stays alone
+    verts = spark.createDataFrame([(1,), (2,), (3,), (4,)], "doc_id long")
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    got = {r["doc_id"]: r["component_id"] for r in connected_components(verts, edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4}
+
+
+def test_dedup_components_keeps_min_id(spark):
+    from vector_database_product_recommendation_spark.operators.dedup import dedup_components
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (10, base),
+        (11, base + " lambda"),          # near-dup of 10
+        (12, base + " lambda mu"),       # near-dup of 11 (chains to 10)
+        (20, "totally different words one two three four five six seven"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["component_id"], r["is_kept"]) for r in dedup_components(docs).collect()}
+    assert out[10] == (10, True)
+    assert out[11][0] == 10 and out[11][1] is False
+    assert out[12][0] == 10 and out[12][1] is False
+    assert out[20] == (20, True)

@@ -617,3 +617,89 @@ def winnow_fingerprints_df(
         .select("doc_id", F.col("wmin").alias("fp"))
     )
     return short.unionByName(fps).distinct().orderBy("doc_id", "fp")
+
+
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph by iterative
+    min-label propagation: every vertex starts labeled with its own id and
+    repeatedly takes the minimum label among itself and its neighbors.
+    Converges in O(graph diameter) rounds — near-dup clusters are dense
+    quasi-cliques with tiny diameters (2-3), so a handful of rounds
+    suffices even on billion-edge graphs (the Kiveris et al. large-star /
+    small-star trick only pays off for high-diameter graphs such as web
+    link graphs, not dedup clusters).
+
+    Scale notes: each round is one shuffle keyed by vertex id over the
+    (vertex, label) table — text never moves. ``localCheckpoint`` after
+    every round truncates the lineage so round N's plan does not replay
+    rounds 1..N-1. Convergence is detected with a single scalar aggregate
+    (labels are monotone non-increasing, so an unchanged label sum means a
+    fixed point) instead of a per-row change join.
+
+    Parity: the reference app has no dedup at all (SURVEY.md section 2.8)
+    — this is part of the training-data-pipeline extension layer; the
+    downstream keep/drop semantics mirror exact_dedup_groups' min-id
+    canonical choice (reference lineage: products 'first row per group',
+    SURVEY.md A-g3).
+
+    Returns (doc_id, component_id) with component_id = min doc_id reachable.
+    """
+    e = edges.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    e = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
+    labels = vertices.select(
+        F.col(id_col).cast("long").alias("u"), F.col(id_col).cast("long").alias("label")
+    ).localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(max_iter):
+        nbr = (
+            e.join(labels.select(F.col("u").alias("v"), "label"), "v")
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(nbr, "u", "left")
+            .select(
+                "u",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    e.unpersist()
+    return labels.select(F.col("u").alias("doc_id"), F.col("label").alias("component_id"))
+
+
+def dedup_components(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int = 100,
+) -> DataFrame:
+    """End-to-end fuzzy dedup: n-gram Jaccard pairs -> connected components
+    -> canonical keep/drop. The full pipeline a pretraining corpus needs:
+    pair discovery gives LOCAL similarity, components give GLOBAL clusters
+    (A~B, B~C => {A,B,C} even when A!~C), min-id is kept as canonical.
+
+    Returns (doc_id, component_id, is_kept) sorted by doc_id.
+    """
+    pairs = ngram_jaccard_pairs(
+        docs, id_col=id_col, text_col=text_col, n=n, threshold=threshold, max_df=max_df
+    )
+    comp = connected_components(docs.select(id_col), pairs, id_col=id_col)
+    return comp.select(
+        "doc_id",
+        "component_id",
+        (F.col("doc_id") == F.col("component_id")).alias("is_kept"),
+    ).orderBy("doc_id")

@@ -532,6 +532,38 @@ def _dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.embedding_near_dup(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+# Fuzzy-dedup endgame: Jaccard pairs -> connected components -> keep/drop.
+# Oracle computes the same components with a recursive label-closure CTE
+# (min reachable id per vertex == min-label-propagation fixed point).
+_DEDUP_COMPONENTS_ORACLE = f"""
+WITH RECURSIVE {_SHINGLES_CTE},
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM s),
+cold AS (SELECT shingle FROM ex GROUP BY shingle HAVING count(*) <= 100),
+ex2 AS (SELECT ex.* FROM ex JOIN cold USING (shingle)),
+sz AS (SELECT doc_id, count(*) AS sz FROM ex2 GROUP BY doc_id),
+common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+           FROM ex2 a JOIN ex2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b
+  FROM common JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+  WHERE round(common::DOUBLE / (sa.sz + sb.sz - common), 6) >= 0.5),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+reach(u, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.u, r.lbl FROM reach r JOIN edges e ON e.v = r.u)
+SELECT u AS doc_id, min(lbl) AS component_id, (u = min(lbl)) AS is_kept
+FROM reach GROUP BY u ORDER BY doc_id
+"""
+
+
+@register("dedup_components", _DEDUP_COMPONENTS_ORACLE)
+def _dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.dedup_components(load_table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Lineage pipeline (M0: reviews -> products, SURVEY.md sections 1.1, 2.4)
 # ---------------------------------------------------------------------------
