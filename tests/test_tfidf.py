@@ -60,3 +60,20 @@ def test_hybrid_scores_bounded(docs, emb):
     rows = hybrid_search(qtext, 3, docs, emb, k=50, alpha=0.7).collect()
     # alpha*dot in [-1,1], (1-alpha)*minmax in [0, 0.3]
     assert all(-1.0 <= r["score"] <= 1.3 for r in rows)
+
+
+def test_bm25_self_retrieval_and_positive_scores(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from vector_database_product_recommendation_spark.operators.tfidf import bm25_search
+    from vector_database_product_recommendation_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    qtext = docs.filter(F.col("doc_id") == 7).select("text").first()[0]
+    rows = bm25_search(qtext, docs, k=10).collect()
+    assert rows, "bm25 returned no rows"
+    assert all(r["score"] > 0 for r in rows)
+    # the query document scores at least as high as every other hit
+    top_score = rows[0]["score"]
+    self_score = [r["score"] for r in rows if r["doc_id"] == 7]
+    assert self_score and self_score[0] == top_score

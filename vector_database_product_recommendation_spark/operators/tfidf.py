@@ -267,3 +267,71 @@ def hybrid_search(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def bm25_search(
+    query_text: str,
+    docs: DataFrame,
+    k: int = 20,
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stopwords: tuple[str, ...] = STOPWORDS_EN,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Okapi BM25 ranked retrieval (Robertson et al., TREC-3), the lexical
+    scorer the reference's TF-IDF path approximates: score(q, d) =
+    sum over query terms of idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))
+    with the always-positive Lucene idf ln(1 + (n-df+0.5)/(df+0.5)).
+
+    Spark shape: tf/dl/df are hash aggregates with map-side combine; the
+    corpus-level scalars (n, avgdl) ride along as broadcast crossJoins, so
+    nothing collects to the driver. Query terms are tokenized driver-side
+    (the query is a scalar parameter, not data) and broadcast into the
+    scored join — the corpus shuffles only on (doc_id, term)/(term), never
+    on text. Per-term contributions round to 12 decimals before the sum so
+    engine FP noise stays below the final 6-decimal round (same policy as
+    TfidfModel).
+    """
+    import re
+
+    terms = _doc_terms(docs, id_col, text_col, stopwords)
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = terms.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    avgdl = dl.agg(F.avg("dl").alias("avgdl"))
+
+    q_terms = sorted(
+        {t for t in re.findall(TOKEN_PATTERN, query_text.lower()) if t not in set(stopwords)}
+    )
+    spark = docs.sparkSession
+    q = spark.createDataFrame([(t,) for t in q_terms], "term string")
+
+    idf = dfreq.crossJoin(F.broadcast(n)).select(
+        "term",
+        F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)).alias("idf"),
+    )
+    contrib = (
+        tf.join(F.broadcast(q), "term")
+        .join(F.broadcast(idf.join(F.broadcast(q), "term")), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(avgdl))
+        .select(
+            "doc_id",
+            F.round(
+                F.col("idf")
+                * (F.col("tf") * (k1 + 1.0))
+                / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
+                12,
+            ).alias("c"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.round(F.sum("c"), round_decimals).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -691,6 +691,41 @@ def _hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_ORACLE = f"""
+WITH terms AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_extract_all(lower(text), '\\w\\w+'),
+                            t -> NOT list_contains([{_SW_LIST}], t))) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM terms GROUP BY 1),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+avgdl AS (SELECT avg(dl) AS avgdl FROM dl),
+qt AS (SELECT DISTINCT unnest(list_filter(regexp_extract_all(lower(text), '\\w\\w+'),
+                              t -> NOT list_contains([{_SW_LIST}], t))) AS term
+       FROM documents WHERE doc_id = 7),
+idf AS (SELECT term, ln(1.0 + (n - df + 0.5) / (df + 0.5)) AS idf
+        FROM dfreq CROSS JOIN n),
+contrib AS (
+  SELECT doc_id,
+         round(idf * (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 12) AS c
+  FROM tf JOIN qt USING (term) JOIN idf USING (term)
+       JOIN dl USING (doc_id) CROSS JOIN avgdl)
+SELECT doc_id, round(sum(c), 6) AS score
+FROM contrib GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20
+"""
+
+
+@register("bm25_search", _BM25_ORACLE)
+def _bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_database_product_recommendation_spark.operators.tfidf import bm25_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    qtext = docs.filter(F.col("doc_id") == 7).select("text").first()[0]
+    return bm25_search(qtext, docs, k=20)
+
+
 # ---------------------------------------------------------------------------
 # Encoder UDF + free-text retrieval (M3, E1 vector path)
 # ---------------------------------------------------------------------------
