@@ -275,3 +275,22 @@ def test_dedup_components_keeps_min_id(spark):
     assert out[11][0] == 10 and out[11][1] is False
     assert out[12][0] == 10 and out[12][1] is False
     assert out[20] == (20, True)
+
+
+def test_repetition_signals_extremes(spark):
+    from vector_database_product_recommendation_spark.operators.quality import repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),          # fully repetitive
+            (2, "one two three four"),            # fully unique
+            (3, "solo"),                          # no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_signals(docs).collect()}
+    assert got[1]["top_token_frac"] == 1.0 and got[1]["dup_bigram_frac"] == 1.0
+    assert got[1]["unique_token_ratio"] == 0.25
+    assert got[2]["top_token_frac"] == 0.25 and got[2]["dup_bigram_frac"] == 0.0
+    assert got[2]["unique_token_ratio"] == 1.0
+    assert got[3]["n_tokens"] == 1 and got[3]["dup_bigram_frac"] == 0.0

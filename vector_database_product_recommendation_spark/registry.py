@@ -374,6 +374,39 @@ def _doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_REPETITION_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS g FROM t),
+tc AS (SELECT doc_id, g, count(*) AS c FROM tok GROUP BY 1, 2),
+ts AS (SELECT doc_id, max(c) AS top_c, count(*) AS n_distinct, sum(c) AS n_tok
+       FROM tc GROUP BY 1),
+bg0 AS (SELECT doc_id, [array_to_string(toks[i:i+1], ' ')
+                        FOR i IN range(1, greatest(len(toks)-1, 0)+1)] AS bigrams
+        FROM t),
+bg AS (SELECT doc_id, unnest(bigrams) AS g FROM bg0),
+bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+bs AS (SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_occ,
+              sum(c) AS n_bg
+       FROM bc GROUP BY 1)
+SELECT t.doc_id, len(toks) AS n_tokens,
+       round(CASE WHEN n_tok > 0 THEN n_distinct::DOUBLE / n_tok ELSE 0.0 END, 6)
+         AS unique_token_ratio,
+       round(CASE WHEN n_tok > 0 THEN top_c::DOUBLE / n_tok ELSE 0.0 END, 6)
+         AS top_token_frac,
+       round(CASE WHEN n_bg > 0 THEN dup_occ::DOUBLE / n_bg ELSE 0.0 END, 6)
+         AS dup_bigram_frac
+FROM t LEFT JOIN ts USING (doc_id) LEFT JOIN bs USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+@register("doc_repetition_signals", _REPETITION_ORACLE)
+def _doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_database_product_recommendation_spark.operators.quality import repetition_signals
+
+    return repetition_signals(load_table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Deduplication (exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding cosine)
 # ---------------------------------------------------------------------------
