@@ -1884,6 +1884,16 @@ register(
 )(FMT.json_roundtrip_events)
 
 register(
+    "orc_roundtrip_embeddings",
+    """
+    SELECT label, count(*) AS n_vecs, sum(vec_id) AS sum_vec_id,
+           sum(len(embedding)) AS sum_dims,
+           round(sum(embedding[1]::DOUBLE), 6) AS first_elem_sum
+    FROM embeddings GROUP BY label ORDER BY label
+    """,
+)(FMT.orc_roundtrip_embeddings)
+
+register(
     "partitioned_orders_pruned",
     """
     SELECT o_orderpriority, count(*) AS n_orders,

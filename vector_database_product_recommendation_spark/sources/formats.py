@@ -176,3 +176,43 @@ def partitioned_orders_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC sink (the other built-in columnar format; zlib by default)."""
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — self-describing schema, vectorized reader, pushdown-
+    capable like parquet (PushedFilters appear in the scan node)."""
+    return spark.read.orc(path)
+
+
+def orc_roundtrip_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings -> ORC -> read back -> per-label aggregate.
+
+    Exercises nested-type (array<float>) fidelity through the ORC
+    writer/reader: sum_dims pins element counts, first_elem_sum pins the
+    float payload bit-for-bit (float32 -> double widening is exact, so a
+    single perturbed element shifts the 6-decimal rounded sum).
+    """
+    from vector_database_product_recommendation_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path, done = _mirror_dir("orc_emb", sf_dir)
+    if not done:
+        write_orc(emb, path)
+    back = read_orc(spark, path)
+    return (
+        back.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("vec_id").alias("sum_vec_id"),
+            F.sum(F.size("embedding")).alias("sum_dims"),
+            F.round(F.sum(F.element_at("embedding", 1).cast("double")), 6).alias(
+                "first_elem_sum"
+            ),
+        )
+        .orderBy("label")
+    )
