@@ -52,3 +52,23 @@ def test_pq_codes_compress_and_bound(spark):
     assert len(rows) == emb.count()
     assert all(len(r["codes"]) == 8 for r in rows)
     assert all(0 <= c < 16 for r in rows for c in r["codes"])
+
+
+def test_sq8_knn_matches_exact_top1(spark, sf_dir):
+    # SQ8 with refine: after exact rescoring the top hit must equal the
+    # exact KNN top hit whenever it survives the candidate stage (it does
+    # at refine_factor=4 on smooth unit vectors).
+    import pyspark.sql.functions as F
+
+    from vector_database_product_recommendation_spark.operators.knn import item_to_item
+    from vector_database_product_recommendation_spark.operators.sq import sq8_knn
+    from vector_database_product_recommendation_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sq = sq8_knn(emb, query_id=7, k=5).collect()
+    assert len(sq) == 5
+    assert all(-1.000001 <= r["score"] <= 1.000001 for r in sq)  # unit vectors
+    assert all(abs(r["score"] - r["approx_score"]) < 0.05 for r in sq)
+    exact = item_to_item(emb, 7, k=5)
+    top_exact = exact.orderBy(F.desc("score"), F.asc("neighbor_id")).first()
+    assert sq[0]["vec_id"] == top_exact["neighbor_id"]

@@ -597,6 +597,38 @@ def _dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_components(load_table(spark, sf_dir, "documents"))
 
 
+# SQ8 scalar-quantized KNN (operators/sq.py) — floor/minmax arithmetic is
+# engine-exact, so the approximate path itself hash-matches DuckDB.
+_SQ8_KNN_ORACLE = """
+WITH dims AS (SELECT i, min(embedding[i]::DOUBLE) AS mn, max(embedding[i]::DOUBLE) AS mx
+              FROM embeddings CROSS JOIN range(1, 65) t(i) GROUP BY i),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7),
+ex AS (SELECT vec_id, i, embedding[i]::DOUBLE AS x
+       FROM embeddings CROSS JOIN range(1, 65) t(i) WHERE vec_id <> 7),
+rec AS (SELECT vec_id, i,
+               mn + ((CASE WHEN mx > mn
+                           THEN least(255, greatest(0, floor((x - mn) * 256.0 / (mx - mn))))
+                           ELSE 0 END) + 0.5) * (mx - mn) / 256.0 AS xhat
+        FROM ex JOIN dims USING (i)),
+approx AS (SELECT vec_id, round(sum(xhat * qv[i]), 6) AS approx_score
+           FROM rec CROSS JOIN q GROUP BY vec_id),
+cand AS (SELECT vec_id, approx_score FROM approx
+         ORDER BY approx_score DESC, vec_id LIMIT 80)
+SELECT c.vec_id,
+       round(list_inner_product(e.embedding::DOUBLE[], q.qv), 6) AS score,
+       c.approx_score
+FROM cand c JOIN embeddings e USING (vec_id) CROSS JOIN q
+ORDER BY score DESC, vec_id LIMIT 20
+"""
+
+
+@register("sq8_knn", _SQ8_KNN_ORACLE)
+def _sq8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_database_product_recommendation_spark.operators.sq import sq8_knn
+
+    return sq8_knn(load_table(spark, sf_dir, "embeddings"), query_id=7, k=20)
+
+
 # ---------------------------------------------------------------------------
 # Lineage pipeline (M0: reviews -> products, SURVEY.md sections 1.1, 2.4)
 # ---------------------------------------------------------------------------
