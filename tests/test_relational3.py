@@ -64,3 +64,42 @@ def test_pivot_counts_are_exhaustive(spark):
     orders = load_table(spark, SF_DIR, "orders")
     total = orders.count()
     assert sum(r["n_f"] + r["n_o"] + r["n_p"] for r in out.values()) == total
+
+
+def test_q21_blamed_supplier_is_sole_late_one(spark):
+    # every reported supplier must come from a multi-supplier order where
+    # it was the ONLY late supplier; numwait is a positive line count
+    rows = RB.q21_waiting_suppliers(spark, SF_DIR).collect()
+    assert rows
+    assert all(r["numwait"] >= 1 for r in rows)
+    # ordering contract: numwait desc, then name
+    waits = [r["numwait"] for r in rows]
+    assert waits == sorted(waits, reverse=True)
+
+
+def test_q21_lineitem_aggregate_shuffle_reused(spark):
+    # per_supp feeds both the per-order rollup and the blame join; the
+    # physical plan must compute that aggregate's exchange ONCE and reuse
+    # it, not rescan lineitem per branch
+    df = RB.q21_waiting_suppliers(spark, SF_DIR)
+    df.collect()
+    assert "ReusedExchange" in _plan(df)
+
+
+def test_q11_threshold_is_broadcast_one_row(spark):
+    df = RB.q11_important_parts(spark, SF_DIR)
+    rows = df.collect()
+    assert rows
+    vals = [r["value"] for r in rows]
+    assert vals == sorted(vals, reverse=True)
+    # every kept part exceeds 0.1% of the total of kept+dropped parts:
+    # the smallest kept value > 0.001 * (total of all parts >= kept total)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_q2_min_cost_rows_carry_partition_min(spark):
+    rows = RB.q2_min_cost_supplier(spark, SF_DIR).collect()
+    assert rows and len(rows) <= 100
+    balances = [r["s_acctbal"] for r in rows]
+    assert balances == sorted(balances, reverse=True)

@@ -469,3 +469,148 @@ def orders_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("priority")
     )
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + NOT EXISTS self-join chain on lineitem.
+
+    Suppliers whose lineitems shipped late (>60 days after order date) in
+    multi-supplier orders where NO other supplier shipped late — the
+    classic "kept orders waiting" blame query.  The synthetic lineitem has
+    no commit/receipt dates (TESTDATA.md), so "late" is defined against
+    o_orderdate; the join/subquery SHAPE is the reference point
+    (app.py has no multi-way semi/anti joins; this is breadth beyond it).
+
+    Decorrelated the way Catalyst's RewriteCorrelatedScalarSubquery would:
+    one aggregate per (orderkey, suppkey) with per-line late counts, one
+    per orderkey with supplier/late-supplier counts, then a filter — both
+    EXISTS subqueries collapse into the same shuffled aggregate instead of
+    re-scanning lineitem per outer row.  At 100 TB: two hash aggregates
+    keyed on l_orderkey (map-side partial combine shrinks each to one row
+    per group) and one join between them that AQE plans from actual sizes;
+    lineitem is scanned once.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    lines = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).withColumn(
+        "late",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).cast("int"),
+    )
+    per_supp = lines.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum("late").alias("n_late_lines")
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum((F.col("n_late_lines") > 0).cast("int")).alias("n_late_supp"),
+    )
+    blamed = (
+        per_supp.filter(F.col("n_late_lines") > 0)
+        .join(
+            per_order.filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)),
+            "l_orderkey",
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("n_late_lines").alias("numwait"))
+    )
+    return (
+        blamed.join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("s_name", F.col("n_name").alias("nation"), "numwait")
+        .orderBy(F.desc("numwait"), "s_name", "nation")
+        .limit(100)
+    )
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: HAVING against a global scalar subquery.
+
+    Parts whose shipped revenue from EUROPE-region suppliers exceeds a
+    fixed fraction of the region's total — "important stock".  The
+    synthetic schema has no partsupp (TESTDATA.md), so per-(part,supplier)
+    value derives from lineitem revenue; the SHAPE — group aggregate
+    filtered by a fraction-of-global-total scalar subquery — is the point.
+
+    The scalar total is computed once from the SAME filtered join (Spark
+    reuses the exchange under AQE) and crossed in by broadcast of one row;
+    at 100 TB the plan is scan -> broadcast-join region suppliers ->
+    hash aggregate on l_partkey -> one-row broadcast compare.  No
+    re-execution per group, no driver collect.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    euro_supp = (
+        supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey")
+    )
+    euro_lines = li.join(
+        euro_supp, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi"
+    )
+    per_part = euro_lines.groupBy("l_partkey").agg(F.sum(_rev()).alias("val"))
+    total = per_part.agg((F.sum("val") * F.lit(0.001)).alias("threshold"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("val") > F.col("threshold"))
+        .select("l_partkey", F.round("val", 4).alias("value"))
+        .orderBy(F.desc("value"), "l_partkey")
+    )
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated min-cost subquery scoped to a region.
+
+    For each part, the ASIA-region supplier(s) offering the minimum unit
+    price (min over observed l_extendedprice/l_quantity — no partsupp in
+    the synthetic schema, TESTDATA.md).  Q2's defining shape is the
+    correlated `cost = (SELECT min(cost) ... same part, region-bound)`
+    subquery; here it decorrelates to a window min partitioned by
+    p_partkey after the region filter — one shuffle on partkey, no
+    self-join, no per-row re-execution.  Unit costs compare by exact
+    float equality against the window min, which is safe because min
+    SELECTS one of the very values being compared (no re-accumulation).
+
+    At 100 TB: region/nation/supplier reduce to a broadcast semi-join
+    before the fact scan aggregate, the (part,supplier) aggregate
+    map-side combines, and the window moves one row per surviving pair.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    part = load_table(spark, sf_dir, "part")
+    asia_supp = (
+        supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .select("s_suppkey", "s_name", "s_acctbal", F.col("n_name").alias("nation"))
+    )
+    pair_cost = (
+        li.filter(F.col("l_quantity") > 0)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+        .join(asia_supp, F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        pair_cost.withColumn("mn", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("mn"))
+        .join(part.select("p_partkey", "p_name"), F.col("p_partkey") == F.col("l_partkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "nation",
+            "p_partkey",
+            "p_name",
+            F.round("unit_cost", 4).alias("min_unit_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "s_name", "p_partkey")
+        .limit(100)
+    )

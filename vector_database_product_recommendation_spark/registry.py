@@ -2362,3 +2362,67 @@ def _doc_context_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d.doc_id, c.chunk_idx
         """
     )
+
+
+register(
+    "q21_waiting_suppliers",
+    """
+    WITH l1 AS (SELECT l_orderkey, l_suppkey,
+                       max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                                THEN 1 ELSE 0 END) AS late,
+                       sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                                THEN 1 ELSE 0 END) AS n_late_lines
+                FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+                GROUP BY 1, 2),
+         o AS (SELECT l_orderkey, count(*) AS n_supp, sum(late) AS n_late_supp
+               FROM l1 GROUP BY 1)
+    SELECT s_name, n_name AS nation, sum(n_late_lines) AS numwait
+    FROM l1 JOIN o USING (l_orderkey)
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE l1.late = 1 AND o.n_supp > 1 AND o.n_late_supp = 1
+    GROUP BY s_name, n_name
+    ORDER BY numwait DESC, s_name, n_name LIMIT 100
+    """,
+)(RB.q21_waiting_suppliers)
+
+register(
+    "q11_important_parts",
+    """
+    WITH euro AS (SELECT s_suppkey FROM supplier
+                  JOIN nation ON n_nationkey = s_nationkey
+                  JOIN region ON r_regionkey = n_regionkey
+                  WHERE r_name = 'EUROPE'),
+         pp AS (SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS val
+                FROM lineitem WHERE l_suppkey IN (SELECT s_suppkey FROM euro)
+                GROUP BY 1)
+    SELECT l_partkey, round(val, 4) AS value
+    FROM pp
+    WHERE val > (SELECT sum(val) * 0.001 FROM pp)
+    ORDER BY value DESC, l_partkey
+    """,
+)(RB.q11_important_parts)
+
+register(
+    "q2_min_cost_supplier",
+    """
+    WITH asia AS (SELECT s_suppkey, s_name, s_acctbal, n_name AS nation
+                  FROM supplier
+                  JOIN nation ON n_nationkey = s_nationkey
+                  JOIN region ON r_regionkey = n_regionkey
+                  WHERE r_name = 'ASIA'),
+         pc AS (SELECT l_partkey, l_suppkey,
+                       min(l_extendedprice / l_quantity) AS unit_cost
+                FROM lineitem WHERE l_quantity > 0
+                GROUP BY 1, 2),
+         pca AS (SELECT pc.*, asia.s_name, asia.s_acctbal, asia.nation
+                 FROM pc JOIN asia ON s_suppkey = l_suppkey)
+    SELECT s_acctbal, s_name, nation, p_partkey, p_name,
+           round(unit_cost, 4) AS min_unit_cost
+    FROM pca
+    JOIN part ON p_partkey = l_partkey
+    WHERE unit_cost = (SELECT min(unit_cost) FROM pca p2
+                       WHERE p2.l_partkey = pca.l_partkey)
+    ORDER BY s_acctbal DESC, s_name, p_partkey LIMIT 100
+    """,
+)(RB.q2_min_cost_supplier)
