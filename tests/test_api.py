@@ -91,3 +91,26 @@ def test_ann_side_by_side_full_probe_equals_exact(engine):
     e = [(r["neighbor_id"], r["score"]) for r in exact.collect()]
     i = [(r["neighbor_id"], r["score"]) for r in ivf.collect()]
     assert e == i  # probing every list degenerates to exact search
+
+
+def test_hybrid_plan_ranks_after_selection(engine):
+    """VERDICT r01 fix: the blend path must not route O(N) candidate rows
+    through a single-partition rank window. The plan selects top-k first
+    (TakeOrderedAndProject) and the only Window sits above it, seeing k
+    rows."""
+    import contextlib
+    import io
+
+    df = engine.search_products("kindle reading light", mode="hybrid", alpha=0.7, k=5)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # The rank window's direct child is the top-k selection, so it only
+    # ever sees k rows. (Ingest lineage mints review_idx with its own
+    # windows — those are upstream of the cached corpus, not the blend.)
+    import re
+
+    assert re.search(
+        r"Window \(\d+\)\n\s*:?\s*\+\- TakeOrderedAndProject \(\d+\)", plan
+    ), plan

@@ -90,3 +90,30 @@ def test_group_centroids_long_shape(spark, emb):
     out = group_centroids_long(emb, "label")
     n_labels = emb.select("label").distinct().count()
     assert out.count() == n_labels * dim
+
+
+def test_exact_scores_full_matrix_no_selection(spark, emb):
+    """exact_scores = the exact_knn kernel minus top-k: every corpus row
+    scored per query, values identical to the numpy product."""
+    from vector_database_product_recommendation_spark.operators.knn import exact_scores
+
+    out = exact_scores(emb, _queries(emb, 3)).collect()
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r[0] for r in rows])
+    mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    n = len(ids)
+    assert len(out) == 3 * n
+    got = {(r["query_id"], r["neighbor_id"]): r["score"] for r in out}
+    for qid in range(3):
+        s = np.round(mat @ mat[ids == qid][0], 6)
+        for i, nid in enumerate(ids):
+            assert got[(qid, int(nid))] == float(s[i])
+
+
+def test_exact_scores_exclude_self(spark, emb):
+    from vector_database_product_recommendation_spark.operators.knn import exact_scores
+
+    out = exact_scores(emb, _queries(emb, 2), exclude_self=True).collect()
+    n = emb.count()
+    assert len(out) == 2 * (n - 1)
+    assert all(r["neighbor_id"] != r["query_id"] for r in out)

@@ -8,6 +8,7 @@ the right answer is obvious.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 from vector_database_product_recommendation_spark.functions.text import (
     doc_fingerprint,
@@ -294,3 +295,16 @@ def test_repetition_signals_extremes(spark):
     assert got[2]["top_token_frac"] == 0.25 and got[2]["dup_bigram_frac"] == 0.0
     assert got[2]["unique_token_ratio"] == 1.0
     assert got[3]["n_tokens"] == 1 and got[3]["dup_bigram_frac"] == 0.0
+
+
+def test_embedding_near_dup_guard_raises_beyond_max_rows(spark):
+    """The exact all-pairs path collects the corpus to the driver — it must
+    refuse large inputs and point to the LSH scale path (VERDICT r01 #6)."""
+    emb = spark.range(6).select(
+        F.col("id").cast("int").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="embedding_near_dup_lsh"):
+        embedding_near_dup(emb, max_rows=5)
+    # at or under the cap it still runs
+    assert embedding_near_dup(emb, max_rows=6).count() > 0

@@ -33,6 +33,7 @@ from vector_database_product_recommendation_spark.functions.embed import hash_em
 from vector_database_product_recommendation_spark.functions.text import STOPWORDS_EN
 from vector_database_product_recommendation_spark.operators.knn import (
     exact_knn,
+    exact_scores,
     pairwise_similarity,
 )
 
@@ -139,13 +140,19 @@ class ProductSearchEngine:
         cand_emb = self.product_emb.join(cand.select("id"), "id")
         qv = self._encode_query(query_text)
         q = spark.createDataFrame([(0, qv)], "query_id int, query_vec array<double>")
-        dense = exact_knn(
-            cand_emb, q, k if mode == "vector" else 10**9, corpus_id="id"
-        ).select(F.col("neighbor_id").alias("id"), "score", "rank")
 
         if mode == "vector":
-            hits = dense
+            hits = exact_knn(cand_emb, q, k, corpus_id="id").select(
+                F.col("neighbor_id").alias("id"), "score", "rank"
+            )
         elif mode == "hybrid":
+            # The blend needs every candidate's dense score, not a ranking:
+            # exact_scores is the same BLAS kernel minus top-k selection, so
+            # no O(N) rows ever cross the single-partition rank window
+            # (the old k=10**9 sentinel did exactly that).
+            dense = exact_scores(cand_emb, q, corpus_id="id").select(
+                F.col("neighbor_id").alias("id"), "score"
+            )
             hits = self._blend_hybrid(query_text, cand, dense, alpha, k)
         else:
             raise ValueError(f"unknown mode {mode!r}")
@@ -202,11 +209,12 @@ class ProductSearchEngine:
                 6,
             ).alias("score"),
         )
+        # Select first (TakeOrderedAndProject: partition-local heaps, no
+        # full-set shuffle), THEN mint ranks — the row_number window only
+        # ever sees k rows.
+        top = blended.orderBy(F.desc("score"), F.asc("id")).limit(k)
         wk = Window.orderBy(F.desc("score"), F.asc("id"))
-        return (
-            blended.withColumn("rank", F.row_number().over(wk))
-            .filter(F.col("rank") <= k)
-        )
+        return top.withColumn("rank", F.row_number().over(wk))
 
     # -- E2: item-to-item -------------------------------------------------
 

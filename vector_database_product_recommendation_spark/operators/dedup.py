@@ -433,9 +433,14 @@ def embedding_near_dup(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     round_decimals: int = 6,
+    max_rows: int = 100_000,
 ) -> DataFrame:
     """Exact cosine near-dup pairs over unit vectors: (id_a, id_b, score),
     score = dot >= threshold, id_a < id_b.
+
+    Raises beyond ``max_rows`` corpus rows: the whole corpus ships in the
+    task closure, so this is the small-corpus audit oracle ONLY — use
+    ``embedding_near_dup_lsh`` as the scale path.
 
     This is the exact baseline (all-pairs); it is the correctness oracle
     for the LSH-blocked variant and is only appropriate when one side fits
@@ -447,6 +452,14 @@ def embedding_near_dup(
     corpus matrix (BLAS), emitting only pairs over the threshold — the
     O(N^2 d) inner loop never runs as interpreted per-pair expressions.
     """
+    n = emb.count()
+    if n > max_rows:
+        raise ValueError(
+            f"embedding_near_dup is the all-pairs audit oracle and collects "
+            f"the corpus to the driver; got {n} rows > max_rows={max_rows}. "
+            f"Use embedding_near_dup_lsh (hyperplane-blocked, exact-verified) "
+            f"for large corpora."
+        )
     rows = emb.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows])
     mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])

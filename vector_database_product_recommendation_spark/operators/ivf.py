@@ -192,14 +192,16 @@ def knn(
     broadcast-threshold idea."""
     from vector_database_product_recommendation_spark.operators.knn import exact_knn
 
+    n = None
     if method == "auto":
-        n = corpus.count()
+        n = corpus.count()  # counted once; reused by the IVF branch below
         method = "exact" if n <= exact_threshold else "ivf"
     if method == "exact":
         return exact_knn(corpus, queries, k, **kw)
     if method != "ivf":
         raise ValueError(f"unknown method {method!r}")
-    n = corpus.count()
+    if n is None:
+        n = corpus.count()
     nlist = nlist or max(1, int(n ** 0.5))
     cents = train_kmeans_centroids(corpus, nlist, vec_col=kw.get("corpus_vec", "embedding"), seed=seed)
     assigned = assign_clusters(corpus, cents, vec_col=kw.get("corpus_vec", "embedding"))

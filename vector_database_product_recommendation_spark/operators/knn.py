@@ -110,6 +110,62 @@ def exact_knn(
     )
 
 
+def exact_scores(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    exclude_self: bool = False,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Score EVERY corpus row against the query batch — no top-k, no window.
+
+    The blend path of hybrid search (app.py:202-210) needs all candidate
+    scores, not a ranking; routing it through exact_knn with a sentinel
+    k would drag O(N) rows through the per-query rank window (a single
+    serialized partition at scale). This is the same mapInPandas BLAS
+    kernel as exact_knn minus selection: output stays partition-local,
+    zero shuffles. Returns (query_id, neighbor_id, score).
+    """
+    q_ids, q_mat = _collect_queries(queries, query_id, query_vec)
+    qid_dtype = queries.schema[query_id].dataType.simpleString()
+    nid_dtype = corpus.schema[corpus_id].dataType.simpleString()
+    out_schema = f"query_id {qid_dtype}, neighbor_id {nid_dtype}, score double"
+    excl = exclude_self
+    dec = round_decimals
+
+    def score_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qm = q_mat.T  # (d, q)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cmat = np.stack(pdf[corpus_vec].to_numpy()).astype(np.float64)
+            ids = pdf[corpus_id].to_numpy()
+            scores = np.round(cmat @ qm, dec)  # (n, q)
+            frames = []
+            for j in range(q_mat.shape[0]):
+                sel = np.ones(len(ids), dtype=bool)
+                if excl:
+                    sel = ids != q_ids[j]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.repeat(q_ids[j], int(sel.sum())),
+                            "neighbor_id": ids[sel],
+                            "score": scores[sel, j],
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    return corpus.select(corpus_id, corpus_vec).mapInPandas(
+        score_partition, out_schema
+    )
+
+
 def exact_knn_expr(
     corpus: DataFrame,
     queries: DataFrame,
