@@ -67,3 +67,34 @@ def test_approx_percentile_close_to_exact(spark):
     for r in both:
         denom = max(abs(r["exact"]), 1e-9)
         assert abs(r["approx"] - r["exact"]) / denom < 0.05, r
+
+
+def test_hash_sample_deterministic_and_partition_invariant(spark):
+    from vector_database_product_recommendation_spark.operators.sampling import hash_sample
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    s1 = {r["event_id"] for r in hash_sample(events, "event_id", 0.3).select("event_id").collect()}
+    s2 = {
+        r["event_id"]
+        for r in hash_sample(events.repartition(13), "event_id", 0.3)
+        .select("event_id")
+        .collect()
+    }
+    assert s1 == s2  # membership is a pure function of the key
+    n = events.count()
+    assert 0.25 * n < len(s1) < 0.35 * n
+
+
+def test_stratified_hash_sample_thresholds(spark):
+    from vector_database_product_recommendation_spark.operators.sampling import (
+        stratified_hash_sample,
+    )
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    frac = {"click": 0.5, "purchase": 1.0}
+    s = stratified_hash_sample(events, "event_type", frac, key_col="event_id")
+    got = {r["event_type"]: r["n"] for r in s.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    base = {r["event_type"]: r["n"] for r in events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(got) <= {"click", "purchase"}  # absent strata keep 0 rows
+    assert got["purchase"] == base["purchase"]  # fraction 1.0 keeps all
+    assert 0.4 * base["click"] < got["click"] < 0.6 * base["click"]

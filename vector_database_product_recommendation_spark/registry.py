@@ -864,6 +864,23 @@ def _ivf_knn_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_knn(assigned, cents, q, 5, nprobe=5)
 
 
+# nprobe >= nlist probes every inverted list, so IVF degenerates to exact
+# search (operators/ivf.py:91 scores the union of all clusters with the
+# same rounding and tie-break as exact_knn) — the plain KNN oracle checks
+# the whole train/assign/probe pipeline end-to-end, turning the AN2-AN4
+# family from pytest-only into driver-verified.
+@register("ivf_knn_exactprobe", _KNN_ORACLE)
+def _ivf_knn_exactprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_database_product_recommendation_spark.artifacts import ivf_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, assigned = ivf_index(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_knn(assigned, cents, q, 5, nprobe=10**9)
+
+
 @register("ann_tradeoff")
 def _ann_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_database_product_recommendation_spark.artifacts import ivf_index
@@ -1028,12 +1045,51 @@ def _salted_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_event_rollup(load_table(spark, sf_dir, "events"))
 
 
-# LSH-blocked embedding near-dup: the 100-TB path. Rows-only by design:
-# band membership depends on FP sign boundaries of the projections, which
-# an independent engine can legitimately flip at ~0 projections; its
-# correctness check is the metamorphic audit vs the exact operator
-# (tests/test_text_dedup.py::test_embedding_lsh_blocked_matches_exact...).
-@register("dedup_embedding_lsh")
+# LSH-blocked embedding near-dup: the 100-TB path. The Rademacher planes
+# are deterministic md5 bit-math (operators/dedup.py:_rademacher_planes —
+# entry (p,d) flips on the low bit of md5(f"{p}|{d}")[:15]), so DuckDB can
+# rebuild the identical plane matrix, band keys, and candidate set; the
+# exact-verify step is list_inner_product. The metamorphic audit vs the
+# exact operator remains in tests/test_text_dedup.py.
+_EMB_LSH_ORACLE = """
+WITH planes AS (
+  SELECT p, d,
+         CASE WHEN strpos('02468ace', substr(md5(p::VARCHAR || '|' || d::VARCHAR), 15, 1)) > 0
+              THEN 1.0 ELSE -1.0 END AS w
+  FROM (SELECT unnest(range(0, 16)) AS p),
+       (SELECT unnest(range(0, (SELECT len(embedding) FROM embeddings LIMIT 1))) AS d)
+),
+ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings
+),
+proj AS (
+  SELECT ex.vec_id, pl.p, sum(ex.v * pl.w) AS s
+  FROM ex JOIN planes pl USING (d) GROUP BY 1, 2
+),
+bands AS (
+  SELECT vec_id, p // 4 AS band_idx,
+         sum(CASE WHEN s >= 0 THEN 1 << (p % 4) ELSE 0 END) AS band_key
+  FROM proj GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.vec_id < b.vec_id
+),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+SELECT id_a, id_b, round(list_inner_product(va.e, vb.e), 6) AS score
+FROM cand
+JOIN v va ON va.vec_id = id_a
+JOIN v vb ON vb.vec_id = id_b
+WHERE round(list_inner_product(va.e, vb.e), 6) >= 0.4
+ORDER BY id_a, id_b
+"""
+
+
+@register("dedup_embedding_lsh", _EMB_LSH_ORACLE)
 def _dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.embedding_near_dup_lsh(
         load_table(spark, sf_dir, "embeddings"), threshold=0.4
@@ -1987,6 +2043,24 @@ def _pq_knn_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_knn(codes, books, q, 5, emb=emb, refine_factor=8)
 
 
+# refine_factor large enough that fetch >= N makes every corpus row an
+# exact-refine candidate, so PQ's ADC + refine pipeline provably returns
+# exact_knn's answer regardless of the trained codebooks (operators/
+# pq.py:176,244) — the plain KNN oracle then driver-verifies the whole
+# train/encode/ADC/refine path.
+@register("pq_knn_exactrefine", _KNN_ORACLE)
+def _pq_knn_exactrefine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_database_product_recommendation_spark.artifacts import pq_index
+    from vector_database_product_recommendation_spark.operators.pq import pq_knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books, codes = pq_index(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return pq_knn(codes, books, q, 5, emb=emb, refine_factor=10**6)
+
+
 # ---------------------------------------------------------------------------
 # Relational breadth round 4: Q9/Q20 shapes, schema-evolution union,
 # z-score anomaly flagging, approximate percentile sketch
@@ -2097,6 +2171,46 @@ def _events_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     frac = {"click": 0.5, "view": 0.1, "purchase": 1.0, "error": 1.0, "signup": 1.0}
     s = stratified_sample(events, "event_type", frac)
+    return (
+        s.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_sampled"))
+        .orderBy("event_type")
+    )
+
+
+# Deterministic hash-gated stratified sample: membership is a pure
+# function of md5(event_id), so the kept SET (not just its size) is
+# engine-independent — reproducible holdout splits at 100 TB, and a full
+# hash oracle here (thresholds integerized driver-side; see
+# operators/sampling.py:stratified_hash_sample).
+_STRAT_HASH_ORACLE = """
+WITH g AS (
+  SELECT event_type,
+         ('0x' || substr(md5(event_id::VARCHAR), 1, 15))::UBIGINT % 1000000 AS bucket
+  FROM events
+)
+SELECT event_type, count(*) AS n_sampled
+FROM g
+WHERE bucket < CASE event_type
+                 WHEN 'click' THEN 500000
+                 WHEN 'view' THEN 100000
+                 WHEN 'purchase' THEN 1000000
+                 WHEN 'error' THEN 1000000
+                 WHEN 'signup' THEN 1000000
+                 ELSE 0 END
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("events_stratified_hash_sample", _STRAT_HASH_ORACLE)
+def _events_stratified_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_database_product_recommendation_spark.operators.sampling import (
+        stratified_hash_sample,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    frac = {"click": 0.5, "view": 0.1, "purchase": 1.0, "error": 1.0, "signup": 1.0}
+    s = stratified_hash_sample(events, "event_type", frac, key_col="event_id")
     return (
         s.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_sampled"))
         .orderBy("event_type")
