@@ -16,7 +16,14 @@ lives in exactly one bucket.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+
+
+def _epoch_micros(c: str) -> Column:
+    """unix_micros requires TIMESTAMP; tolerate TIMESTAMP_NTZ inputs by
+    casting first (value-preserving under the UTC session timezone that
+    session.py pins)."""
+    return F.unix_micros(F.col(c).cast("timestamp"))
 
 
 def range_join(
@@ -34,12 +41,12 @@ def range_join(
     all point columns plus the interval's start/end."""
     b = F.lit(bucket_seconds)
     p = points.withColumn(
-        "__bucket", (F.unix_micros(F.col(point_ts)) / 1_000_000 / b).cast("long")
+        "__bucket", (_epoch_micros(point_ts) / 1_000_000 / b).cast("long")
     )
     iv = intervals.withColumn(
-        "__b0", (F.unix_micros(F.col(start_col)) / 1_000_000 / b).cast("long")
+        "__b0", (_epoch_micros(start_col) / 1_000_000 / b).cast("long")
     ).withColumn(
-        "__b1", (F.unix_micros(F.col(end_col)) / 1_000_000 / b).cast("long")
+        "__b1", (_epoch_micros(end_col) / 1_000_000 / b).cast("long")
     )
     iv = iv.withColumn(
         "__bucket", F.explode(F.sequence(F.col("__b0"), F.col("__b1")))

@@ -70,19 +70,33 @@ def read_csv(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
     )
 
 
-# Spark's default JSON timestampFormat keeps only milliseconds; micros
-# must be explicit or the round-trip silently loses precision.
+# Spark's default JSON timestamp formats keep only milliseconds; micros
+# must be explicit or the round-trip silently loses precision. NTZ columns
+# are governed by the SEPARATE timestampNTZFormat option (no zone suffix
+# allowed there) — set both so the round-trip is precision-safe whichever
+# way the column is typed.
 _TS_MICROS = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+_TS_NTZ_MICROS = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
 
 
 def write_json(df: DataFrame, path: str) -> None:
     """Write JSON lines (one object per row, microsecond ISO-8601)."""
-    df.write.mode("overwrite").option("timestampFormat", _TS_MICROS).json(path)
+    (
+        df.write.mode("overwrite")
+        .option("timestampFormat", _TS_MICROS)
+        .option("timestampNTZFormat", _TS_NTZ_MICROS)
+        .json(path)
+    )
 
 
 def read_json(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
     """Schema-on-read JSON-lines scan."""
-    return spark.read.schema(schema).option("timestampFormat", _TS_MICROS).json(path)
+    return (
+        spark.read.schema(schema)
+        .option("timestampFormat", _TS_MICROS)
+        .option("timestampNTZFormat", _TS_NTZ_MICROS)
+        .json(path)
+    )
 
 
 def write_partitioned(df: DataFrame, path: str, *cols: str) -> None:

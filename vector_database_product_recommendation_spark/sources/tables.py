@@ -31,22 +31,40 @@ TABLES = (
 )
 
 
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize the event-time column to plain TIMESTAMP (LTZ) no matter
+    how the parquet writer typed it:
+
+    - TIMESTAMP(NANOS) read via the legacy nanosAsLong conf -> bigint:
+      floor-divide to micros (the same truncation DuckDB applies).
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false) -> TIMESTAMP_NTZ: cast to
+      TIMESTAMP. The session timezone is pinned to UTC (session.py), so the
+      cast is a pure re-tag — wall-clock values are unchanged and match
+      DuckDB's naive reading. Downstream consumers (unix_micros, watermarks,
+      window()) all require TIMESTAMP, so this is the single point where
+      every writer flavor converges.
+    """
+    dt = dict(df.dtypes).get(col)
+    if dt == "bigint":
+        df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    elif dt == "timestamp_ntz":
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic table. ``name`` must be in TABLES.
 
-    The events table is written with TIMESTAMP(NANOS), which Spark's
-    parquet reader rejects by default; read nanos as long and floor-divide
-    to micros — the same truncation DuckDB applies, so both engines see
-    identical timestamps.
+    The events table's ts has shipped as TIMESTAMP(NANOS) and as
+    TIMESTAMP_NTZ micros across testdata generations; normalize_event_ts
+    folds both into plain TIMESTAMP here, the single load point.
     """
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        return df
+        return normalize_event_ts(df)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -22,6 +22,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from vector_database_product_recommendation_spark.sources.tables import normalize_event_ts
+
 
 def windowed_event_agg(events: DataFrame, *, window: str = "1 hour") -> DataFrame:
     """Tumbling-window counts/sums per event_type. Epoch-aligned windows
@@ -92,9 +94,7 @@ def stream_windowed_counts(
     provided schema carries ts as bigint (nanos read via the legacy conf),
     it is floor-divided to micros exactly like the batch loader.
     """
-    stream = spark.readStream.schema(schema).parquet(events_dir)
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    stream = normalize_event_ts(spark.readStream.schema(schema).parquet(events_dir))
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).getField("start").alias("window_start"), "event_type")
@@ -121,9 +121,7 @@ def user_running_totals_stream(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    stream = spark.readStream.schema(schema).parquet(events_dir)
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    stream = normalize_event_ts(spark.readStream.schema(schema).parquet(events_dir))
 
     def update(key, pdfs, state: GroupState):
         c, s = state.get if state.exists else (0, 0.0)
@@ -177,9 +175,7 @@ def stream_enriched_segment_counts(
     the static customer dim is broadcast into every micro-batch (Spark
     re-resolves the static side per trigger, picking up dim updates).
     Same logical plan as enriched_segment_counts minus the final sort."""
-    stream = spark.readStream.schema(schema).parquet(events_dir)
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    stream = normalize_event_ts(spark.readStream.schema(schema).parquet(events_dir))
     dim = customer.select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
     return (
         stream.withWatermark("ts", watermark)
@@ -207,9 +203,7 @@ def stream_dedup_events(
     at-least-once -> exactly-once repair stage of an ingestion pipeline.
     State is one entry per distinct id inside the horizon (bounded, unlike
     global dropDuplicates on an unbounded stream)."""
-    stream = spark.readStream.schema(schema).parquet(events_dir)
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    stream = normalize_event_ts(spark.readStream.schema(schema).parquet(events_dir))
     return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
@@ -268,9 +262,7 @@ def stream_click_purchase_attribution(
     stream, the requirement for any production stream-stream join.
     """
     def side(filter_type: str) -> DataFrame:
-        s = spark.readStream.schema(schema).parquet(events_dir)
-        if dict(s.dtypes).get("ts") == "bigint":
-            s = s.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        s = normalize_event_ts(spark.readStream.schema(schema).parquet(events_dir))
         return s.filter(F.col("event_type") == filter_type)
 
     clicks = side("click").select(
