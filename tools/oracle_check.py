@@ -34,6 +34,44 @@ def norm_cell(v):
     return str(v)
 
 
+def pandas_rows(df):
+    """DataFrame -> list of plain-python tuples (numpy scalars unwrapped).
+
+    Emulates a harness that fetches through pandas/Arrow instead of
+    fetchall()/collect(). The critical divergence this surfaces: DuckDB
+    renders HUGEINT (any sum() over an integer column) as float64 in its
+    pandas output — 6 becomes 6.0 — while Spark's sum(int) stays int64.
+    An oracle that hash-matches under fetchall but not under .df() will
+    fail on any driver that fetches through pandas; every integer output
+    must therefore be typed BIGINT on both sides.
+    """
+    import numpy as np
+    import pandas as pd
+
+    out = []
+    for row in df.itertuples(index=False, name=None):
+        vals = []
+        for v in row:
+            if v is None or (isinstance(v, float) and math.isnan(v)) or v is pd.NaT:
+                vals.append(None)
+            elif isinstance(v, np.integer):
+                vals.append(int(v))
+            elif isinstance(v, np.floating):
+                vals.append(float(v))
+            elif isinstance(v, np.bool_):
+                vals.append(bool(v))
+            elif isinstance(v, pd.Timestamp):
+                vals.append(v.to_pydatetime())
+            elif isinstance(v, np.ndarray):
+                vals.append(str(v.tolist()))
+            elif isinstance(v, list):
+                vals.append(str([x.item() if hasattr(x, "item") else x for x in v]))
+            else:
+                vals.append(v)
+        out.append(tuple(vals))
+    return out
+
+
 def table_hash(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     lines = sorted(
@@ -107,6 +145,25 @@ def main():
             hs, ho = table_hash(scols, srows), table_hash(ocols, orows)
             if hs != ho:
                 problems.append(f"hash {hs} vs {ho}")
+        if not problems:
+            # Fetch-path invariance: the driver may collect through
+            # pandas/Arrow instead of fetchall/collect. DuckDB's pandas
+            # output turns HUGEINT into float64 (sum(int) -> 6.0), so an
+            # oracle can match under fetchall yet fail on the driver.
+            # Require all four paths to agree.
+            try:
+                sp = pandas_rows(sdf.toPandas())
+                op = pandas_rows(con.execute(oracles[name]).df())
+                hsp, hop = table_hash(scols, sp), table_hash(ocols, op)
+                if not (hs == hsp == hop):
+                    problems.append(
+                        f"pandas-path hash: spark {hs}/{hsp} duck {ho}/{hop}"
+                        " (HUGEINT or NaN/NULL or date rendering?)"
+                    )
+                    for i, (a, b) in enumerate(zip(sorted(sp)[:2], sorted(op)[:2])):
+                        print(f"   spark-pd[{i}]={a}\n   duck-pd [{i}]={b}")
+            except Exception as e:  # pragma: no cover - diagnostic only
+                problems.append(f"pandas-path error: {e}")
         if problems:
             print(f"FAIL {name}: {'; '.join(problems)}")
             for i, (a, b) in enumerate(zip(sorted(srows)[:3], sorted(orows)[:3])):

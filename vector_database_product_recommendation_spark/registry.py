@@ -31,7 +31,19 @@ _ORACLES: dict[str, str] = {}
 
 def register(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
-        _QUERIES[name] = fn
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # The driver supplies its own SparkSession, whose construction
+            # confs we don't control. Timestamp literal parsing, NTZ<->LTZ
+            # casts, and date_trunc all key off the session timezone, and
+            # the DuckDB oracle reads the parquet wall-clock values as
+            # naive — so deterministic comparison requires UTC. Both confs
+            # are runtime-settable, so pinning here is safe and idempotent.
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = getattr(fn, "__name__", name)
+        wrapped.__doc__ = fn.__doc__
+        _QUERIES[name] = wrapped
         if oracle is not None:
             _ORACLES[name] = oracle
         return fn
@@ -39,50 +51,42 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-# Names with a green (hash-verified) row in CORRECTNESS_r01.json. The
-# driver walks queries() in dict order with a bounded budget — round 1
-# stopped after the first 50 registrations, leaving the rest without a
-# driver verdict (VERDICT.md r01 #1). queries() therefore exports in
-# rotation order: entries still lacking a hash-verified row first (with
-# oracle-backed ones ahead of rows-only ones, so no bounded-budget slot is
-# spent on a weak check while a strong one waits), then the r01-verified
-# entries. Combined r01+r02 driver rows then cover every registration.
-_R01_VERIFIED = frozenset(
-    {
-        "q1_pricing_summary", "q3_shipping_priority", "two_stage_retrieval",
-        "brand_domain", "minmax_rescale", "knn_exact_batch",
-        "knn_item_to_item", "pairwise_similarity", "centroid_by_label",
-        "doc_text_profile", "lang_id_pred", "doc_fingerprint",
-        "doc_repetition_signals", "dedup_exact", "dedup_ngram_jaccard",
-        "minhash_signatures", "dedup_minhash_lsh", "simhash_signatures",
-        "dedup_simhash", "dedup_embedding_cosine", "dedup_components",
-        "sq8_knn", "products_from_reviews", "tfidf_weights", "tfidf_search",
-        "hybrid_search", "bm25_search", "free_text_search",
-        "events_windowed_agg", "events_sessionization", "events_json_props",
-        "multimodal_features", "q6_forecast_revenue", "q4_order_priority",
-        "dormant_customers", "salted_event_rollup", "tfidf_weights_capped",
-        "format_results", "revenue_rollup", "events_asof_last_click",
-        "events_range_join", "events_rolling_avg",
-        "events_value_percentiles", "events_user_setops",
-        "q5_regional_revenue", "q13_order_count_distribution",
-        "top_parts_per_brand",
-    }
+# The driver checks the FIRST 50 entries of queries() per round.
+# Round-3 rotation (VERDICT.md r02 #4): the two r02 AnalysisException
+# regressions (asof / range join — fixed by the source-layer TIMESTAMP
+# normalization), then the eight r02 hash-fails (root cause: any
+# sum(<integer>) output is HUGEINT in DuckDB, which the driver's pandas
+# fetch path renders as float64 — 6 vs 6.0 — while Spark's sum stays
+# int64; every such oracle output is now CAST(... AS BIGINT), and
+# json_roundtrip additionally needed microsecond timestampNTZFormat),
+# then the 40 highest-value r01-only greens so their verdicts refresh —
+# vector/text/dedup families ahead of redundant TPC-H variants. Every
+# remaining registration (r02-green) follows in registration order.
+_R03_PRIORITY = (
+    "events_asof_last_click", "events_range_join",
+    "corpus_prep_pipeline", "hypertable_rollup", "q12_priority_mix",
+    "order_status_pivot", "csv_roundtrip_catalog", "json_roundtrip_events",
+    "orc_roundtrip_embeddings", "q21_waiting_suppliers",
+    "knn_exact_batch", "knn_item_to_item", "pairwise_similarity",
+    "sq8_knn", "two_stage_retrieval", "free_text_search", "hybrid_search",
+    "tfidf_weights", "tfidf_search", "bm25_search", "tfidf_weights_capped",
+    "products_from_reviews", "centroid_by_label", "dedup_exact",
+    "dedup_ngram_jaccard", "minhash_signatures", "dedup_minhash_lsh",
+    "simhash_signatures", "dedup_simhash", "dedup_embedding_cosine",
+    "dedup_components", "doc_text_profile", "lang_id_pred",
+    "doc_fingerprint", "doc_repetition_signals", "events_windowed_agg",
+    "events_sessionization", "events_json_props", "events_rolling_avg",
+    "events_value_percentiles", "events_user_setops", "multimodal_features",
+    "minmax_rescale", "brand_domain", "format_results",
+    "q1_pricing_summary", "q3_shipping_priority", "q6_forecast_revenue",
+    "salted_event_rollup", "revenue_rollup",
 )
 
 
 def queries() -> dict[str, QueryFn]:
-    unverified_oracled = {
-        n: f
-        for n, f in _QUERIES.items()
-        if n not in _R01_VERIFIED and n in _ORACLES
-    }
-    unverified_rows_only = {
-        n: f
-        for n, f in _QUERIES.items()
-        if n not in _R01_VERIFIED and n not in _ORACLES
-    }
-    verified = {n: f for n, f in _QUERIES.items() if n in _R01_VERIFIED}
-    return {**unverified_oracled, **unverified_rows_only, **verified}
+    front = {n: _QUERIES[n] for n in _R03_PRIORITY if n in _QUERIES}
+    rest = {n: f for n, f in _QUERIES.items() if n not in front}
+    return {**front, **rest}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1535,11 +1539,12 @@ deduped AS (
   SELECT * FROM (
     SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
     FROM gated) WHERE rn = 1)
-SELECT 'raw' AS stage, count(*) AS n_docs, sum(n_tokens) AS total_tokens FROM q
+SELECT 'raw' AS stage, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM q
 UNION ALL
-SELECT 'lang_quality_gate', count(*), sum(n_tokens) FROM gated
+SELECT 'lang_quality_gate', count(*), CAST(sum(n_tokens) AS BIGINT) FROM gated
 UNION ALL
-SELECT 'fingerprint_dedup', count(*), sum(n_tokens) FROM deduped
+SELECT 'fingerprint_dedup', count(*), CAST(sum(n_tokens) AS BIGINT) FROM deduped
 """
 
 
@@ -1759,11 +1764,13 @@ day AS (
   SELECT date_trunc('day', bucket) AS bucket, event_type,
          sum(n_events) AS n_events, sum(sum_value) AS sum_value
   FROM hour GROUP BY 1, 2)
-SELECT 'minute' AS resolution, bucket, event_type, n_events, round(sum_value, 4) AS sum_value FROM minute
+SELECT 'minute' AS resolution, bucket, event_type,
+       CAST(n_events AS BIGINT) AS n_events, round(sum_value, 4) AS sum_value
+FROM minute
 UNION ALL
-SELECT 'hour', bucket, event_type, n_events, round(sum_value, 4) FROM hour
+SELECT 'hour', bucket, event_type, CAST(n_events AS BIGINT), round(sum_value, 4) FROM hour
 UNION ALL
-SELECT 'day', bucket, event_type, n_events, round(sum_value, 4) FROM day
+SELECT 'day', bucket, event_type, CAST(n_events AS BIGINT), round(sum_value, 4) FROM day
 ORDER BY resolution, bucket, event_type
 """
 
@@ -1873,10 +1880,10 @@ register(
     "q12_priority_mix",
     """
     SELECT l_linestatus,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 0 ELSE 1 END) AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
       AND l_shipdate <  TIMESTAMP '1998-01-01'
@@ -1994,9 +2001,9 @@ register(
     "order_status_pivot",
     """
     SELECT o_orderpriority,
-           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-           sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-           sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
     FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
 )(RB.order_status_pivot)
@@ -2014,8 +2021,9 @@ from vector_database_product_recommendation_spark.sources import formats as FMT 
 register(
     "csv_roundtrip_catalog",
     f"""
-    SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
-           sum({_h60("text")} % 1000000007) AS text_checksum
+    SELECT lang, source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum({_h60("text")} % 1000000007) AS BIGINT) AS text_checksum
     FROM documents GROUP BY lang, source ORDER BY lang, source
     """,
 )(FMT.csv_roundtrip_catalog)
@@ -2033,8 +2041,9 @@ register(
 register(
     "orc_roundtrip_embeddings",
     """
-    SELECT label, count(*) AS n_vecs, sum(vec_id) AS sum_vec_id,
-           sum(len(embedding)) AS sum_dims,
+    SELECT label, count(*) AS n_vecs,
+           CAST(sum(vec_id) AS BIGINT) AS sum_vec_id,
+           CAST(sum(len(embedding)) AS BIGINT) AS sum_dims,
            round(sum(embedding[1]::DOUBLE), 6) AS first_elem_sum
     FROM embeddings GROUP BY label ORDER BY label
     """,
@@ -2549,7 +2558,7 @@ register(
                 GROUP BY 1, 2),
          o AS (SELECT l_orderkey, count(*) AS n_supp, sum(late) AS n_late_supp
                FROM l1 GROUP BY 1)
-    SELECT s_name, n_name AS nation, sum(n_late_lines) AS numwait
+    SELECT s_name, n_name AS nation, CAST(sum(n_late_lines) AS BIGINT) AS numwait
     FROM l1 JOIN o USING (l_orderkey)
     JOIN supplier ON s_suppkey = l_suppkey
     JOIN nation ON n_nationkey = s_nationkey
