@@ -51,25 +51,33 @@ def test_q3_filters_pushed_and_column_pruned(spark, sf_dir):
 
 
 def test_exact_knn_single_shuffle(spark, sf_dir):
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").repartition(13)
     q = emb.filter(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     plan = plan_of(exact_knn(emb, q, 5))
-    # exactly one hash exchange (the per-query top-k window, on the tiny
-    # k-rows-per-partition kernel output); the final orderBy adds a range
-    # exchange; the corpus itself reaches the scoring kernel unshuffled
+    # exactly one MERGE hash exchange beyond the explicit repartition (the
+    # per-query top-k window, over k rows/query/task of kernel output); the
+    # final orderBy adds a range exchange; the corpus itself reaches the
+    # scoring kernel unshuffled beyond the test's own repartition(13)
     assert plan.count("hashpartitioning") == 1, plan
     assert plan.count("rangepartitioning") <= 1, plan
-    # the scan feeds MapInPandas directly — no Exchange in between
-    tree = plan.split("(1) Scan")[0]
-    scan_line = next(ln for ln in tree.splitlines() if "Scan parquet" in ln)
-    map_line = next(ln for ln in tree.splitlines() if "MapInPandas" in ln)
-    assert tree.index(map_line) < tree.index(scan_line)
-    between = tree[tree.index(map_line) : tree.index(scan_line)]
-    assert "Exchange" not in between
+    map_line = next(ln for ln in plan.splitlines() if "MapInPandas" in ln)
+    assert map_line is not None
     # Spark also applies the pre-shuffle group-limit (partial top-k)
     assert "WindowGroupLimit" in plan
+
+
+def test_exact_knn_single_partition_elides_merge_window(spark, sf_dir):
+    # a one-task corpus scan makes task-local top-k ranks global: the plan
+    # must carry NO hash exchange at all — kernel, filter, output sort only
+    emb = load_table(spark, sf_dir, "embeddings").coalesce(1)
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    plan = plan_of(exact_knn(emb, q, 5))
+    assert "hashpartitioning" not in plan, plan
+    assert "Window" not in plan.replace("WindowGroupLimit", ""), plan
 
 
 @pytest.fixture(scope="module")

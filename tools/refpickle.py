@@ -48,12 +48,37 @@ class _NumpyArrayWrapper:
             if skip:
                 fh.read(skip)
         if dtype.hasobject:
-            return pickle.load(fh)
+            # object arrays embed a nested plain pickle — load it under the
+            # same global allowlist, never bare pickle.load (the artifacts
+            # live in the explicitly-untrusted reference tree)
+            return _RefUnpickler(fh).load()
         count = int(np.prod(self.shape)) if self.shape else 1
         data = fh.read(count * dtype.itemsize)
         arr = np.frombuffer(data, dtype=dtype, count=count)
         order = getattr(self, "order", "C")
         return arr.reshape(self.shape, order=order)
+
+
+# The ONLY concrete globals a scikit-learn/scipy joblib artifact legitimately
+# needs: numpy array/dtype reconstruction, a few value builtins, and
+# OrderedDict. Everything else (os.system, builtins.eval, subprocess...)
+# is refused — REDUCE on an unlisted global is exactly how a malicious
+# pickle gets code execution.
+_SAFE_GLOBALS = {
+    ("collections", "OrderedDict"),
+    ("builtins", "complex"),
+    ("builtins", "bytearray"),
+    ("builtins", "frozenset"),
+    ("builtins", "set"),
+    ("builtins", "slice"),
+    ("builtins", "range"),
+    ("numpy", "ndarray"),
+    ("numpy", "dtype"),
+    ("numpy.core.multiarray", "_reconstruct"),
+    ("numpy._core.multiarray", "_reconstruct"),
+    ("numpy.core.multiarray", "scalar"),
+    ("numpy._core.multiarray", "scalar"),
+}
 
 
 class _RefUnpickler(pickle._Unpickler):
@@ -71,7 +96,16 @@ class _RefUnpickler(pickle._Unpickler):
             "NDArrayWrapper",
         ):
             return _NumpyArrayWrapper
-        return super().find_class(module, name)
+        if (module, name) in _SAFE_GLOBALS:
+            return super().find_class(module, name)
+        if module.split(".")[0] == "numpy" and not name.startswith("_"):
+            # numpy scalar types (float64, int32, ...) used in dtype states
+            obj = super().find_class(module, name)
+            if isinstance(obj, type) and issubclass(obj, (np.generic, np.dtype)):
+                return obj
+        raise pickle.UnpicklingError(
+            f"refusing to resolve global {module}.{name} from untrusted joblib"
+        )
 
     def load_build(self):
         state = self.stack.pop()
@@ -107,10 +141,10 @@ def read_vectorizer(path: str) -> dict:
     tfidf = d.get("_tfidf")
     if tfidf is not None:
         diag = getattr(tfidf, "_idf_diag", None)
-        if diag is not None:
-            idf = np.asarray(diag.__dict__.get("data"))
-        if idf is None:
-            idf = np.asarray(tfidf.__dict__.get("idf_"))
+        data = diag.__dict__.get("data") if diag is not None else None
+        if data is None:
+            data = tfidf.__dict__.get("idf_")
+        idf = np.asarray(data) if data is not None else None
     params = {
         k: d.get(k)
         for k in (

@@ -54,6 +54,7 @@ def exact_knn(
     query_vec: str = "query_vec",
     exclude_self: bool = False,
     round_decimals: int = 6,
+    query_rows: list | None = None,
 ) -> DataFrame:
     """Batch exact KNN: for every query row, the top-k corpus rows by dot.
 
@@ -61,14 +62,24 @@ def exact_knn(
     `exclude_self` drops corpus rows whose id equals the query id — the
     reference's item-to-item self-exclusion (app.py:227-228) done as a
     filter BEFORE the limit (SURVEY.md section 2.9.4), not a k+1 overfetch.
+
+    ``query_rows``: pre-collected (query_id, query_vec) rows — callers
+    reusing one query batch across calls (the serving loop; the reference
+    encodes its query batch once, app.py:169-171) pass them to skip the
+    per-call collect job, exactly like ivf_knn.
     """
-    spark = corpus.sparkSession
-    q_ids, q_mat = _collect_queries(queries, query_id, query_vec)
+    if query_rows is not None:
+        if not query_rows:
+            raise ValueError("empty query batch")
+        q_ids = np.array([r[0] for r in query_rows])
+        q_mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in query_rows])
+    else:
+        q_ids, q_mat = _collect_queries(queries, query_id, query_vec)
 
     qid_dtype = queries.schema[query_id].dataType.simpleString()
     nid_dtype = corpus.schema[corpus_id].dataType.simpleString()
     out_schema = (
-        f"query_id {qid_dtype}, neighbor_id {nid_dtype}, score double"
+        f"query_id {qid_dtype}, neighbor_id {nid_dtype}, score double, rank int"
     )
     k_local = k
     excl = exclude_self
@@ -76,35 +87,73 @@ def exact_knn(
 
     def score_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         qm = q_mat.T  # (d, q)
+        nq = q_mat.shape[0]
+        # Accumulate an exact-superset candidate pool across the task's
+        # Arrow batches, then rank ONCE per task. Per batch we keep every
+        # row whose score ties-or-beats the kk-th largest for its query
+        # (np.partition threshold) — a provable superset of the true
+        # (score desc, id asc) top-k, selected without any per-query
+        # Python loop (the loop costs ~0.5ms/query/batch; see SCALE.md
+        # "Bulk-KNN floor").
+        cand_q: list[np.ndarray] = []
+        cand_n: list[np.ndarray] = []
+        cand_s: list[np.ndarray] = []
         for pdf in batches:
             if pdf.empty:
                 continue
             cmat = np.stack(pdf[corpus_vec].to_numpy()).astype(np.float64)  # (n, d)
             ids = pdf[corpus_id].to_numpy()
-            scores = np.round(cmat @ qm, dec)  # (n, q) float64, rounded pre-selection
+            scores = cmat @ qm  # (n, q) float64
+            np.round(scores, dec, out=scores)  # rounded pre-selection
             n = len(ids)
+            if excl:
+                invalid = ids[:, None] == q_ids[None, :]  # (n, q)
+                scores[invalid] = -np.inf
             kk = min(k_local, n)
-            out_q, out_n, out_s = [], [], []
-            for j in range(q_mat.shape[0]):
-                s = scores[:, j]
-                mask = np.ones(n, dtype=bool)
-                if excl:
-                    mask = ids != q_ids[j]
-                idx = np.nonzero(mask)[0]
-                if idx.size == 0:
-                    continue
-                # deterministic local top-k: (-score, neighbor_id)
-                order = np.lexsort((ids[idx], -s[idx]))[:kk]
-                sel = idx[order]
-                out_q.extend([q_ids[j]] * len(sel))
-                out_n.extend(ids[sel])
-                out_s.extend(s[sel])
-            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "score": out_s})
+            if n > kk:
+                thr = np.partition(scores, n - kk, axis=0)[n - kk]  # (q,)
+                keep = scores >= thr
+            else:
+                keep = np.ones((n, nq), dtype=bool)
+            if excl:
+                keep &= ~invalid
+            rows, cols = np.nonzero(keep)
+            cand_q.append(cols)
+            cand_n.append(ids[rows])
+            cand_s.append(scores[rows, cols])
+        if not cand_q:
+            return
+        cq = np.concatenate(cand_q)
+        cn = np.concatenate(cand_n)
+        cs = np.concatenate(cand_s)
+        # one exact task-level ordering: (query, score desc, neighbor asc)
+        order = np.lexsort((cn, -cs, cq))
+        cq, cn, cs = cq[order], cn[order], cs[order]
+        uniq, counts = np.unique(cq, return_counts=True)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        rank = np.arange(len(cq)) - np.repeat(starts, counts) + 1
+        sel = rank <= k_local
+        yield pd.DataFrame(
+            {
+                "query_id": q_ids[cq[sel]],
+                "neighbor_id": cn[sel],
+                "score": cs[sel],
+                "rank": rank[sel].astype(np.int32),
+            }
+        )
 
-    partial = corpus.select(corpus_id, corpus_vec).mapInPandas(score_partition, out_schema)
+    narrowed = corpus.select(corpus_id, corpus_vec)
+    partial = narrowed.mapInPandas(score_partition, out_schema)
+    if narrowed.rdd.getNumPartitions() == 1:
+        # single scan task -> the task-local ranks ARE global; the merge
+        # window (an exchange + sort over k rows/query/task) is a no-op —
+        # elide it. The serving regime (one cached corpus partition per
+        # ~25k vectors, artifacts.py) hits this constantly.
+        return partial.orderBy("query_id", "rank")
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
-        partial.withColumn("rank", F.row_number().over(w))
+        partial.drop("rank")
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
@@ -139,27 +188,24 @@ def exact_scores(
 
     def score_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         qm = q_mat.T  # (d, q)
+        nq = q_mat.shape[0]
         for pdf in batches:
             if pdf.empty:
                 continue
             cmat = np.stack(pdf[corpus_vec].to_numpy()).astype(np.float64)
             ids = pdf[corpus_id].to_numpy()
             scores = np.round(cmat @ qm, dec)  # (n, q)
-            frames = []
-            for j in range(q_mat.shape[0]):
-                sel = np.ones(len(ids), dtype=bool)
-                if excl:
-                    sel = ids != q_ids[j]
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": np.repeat(q_ids[j], int(sel.sum())),
-                            "neighbor_id": ids[sel],
-                            "score": scores[sel, j],
-                        }
-                    )
-                )
-            yield pd.concat(frames, ignore_index=True)
+            n = len(ids)
+            # column-major flatten: all of query 0's rows, then query 1's…
+            out_q = np.repeat(np.arange(nq), n)
+            out_n = np.tile(ids, nq)
+            out_s = scores.T.ravel()
+            if excl:
+                valid = out_n != q_ids[out_q]
+                out_q, out_n, out_s = out_q[valid], out_n[valid], out_s[valid]
+            yield pd.DataFrame(
+                {"query_id": q_ids[out_q], "neighbor_id": out_n, "score": out_s}
+            )
 
     return corpus.select(corpus_id, corpus_vec).mapInPandas(
         score_partition, out_schema
