@@ -52,6 +52,7 @@ class ProductSearchEngine:
         text_col: str = "example_text",
         encoder=None,
         stopwords: tuple[str, ...] = STOPWORDS_EN,
+        embedding_dim: int | None = None,
     ):
         self.products = products
         self.product_emb = product_emb  # (id, embedding) unit vectors
@@ -60,6 +61,7 @@ class ProductSearchEngine:
         self.text_col = text_col
         self.encoder = encoder  # None -> driver-side hash_embed_py
         self.stopwords = stopwords
+        self.embedding_dim = embedding_dim  # lazily probed once if None
         self._tfidf = None
 
     # -- construction -----------------------------------------------------
@@ -118,8 +120,12 @@ class ProductSearchEngine:
     def _encode_query(self, query_text: str) -> list[float]:
         if self.encoder is not None:
             return self.encoder(query_text)
-        dim = len(self.product_emb.select("embedding").first()[0])
-        return hash_embed_py(query_text, dim)
+        if self.embedding_dim is None:
+            # probed ONCE and memoized — the encode hot path must not run a
+            # Spark job per free-text query (pass embedding_dim at
+            # construction to avoid even this first probe)
+            self.embedding_dim = len(self.product_emb.select("embedding").first()[0])
+        return hash_embed_py(query_text, self.embedding_dim)
 
     def search_products(
         self,

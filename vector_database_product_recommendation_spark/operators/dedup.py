@@ -669,13 +669,14 @@ def connected_components(
         F.col(id_col).cast("long").alias("u"), F.col(id_col).cast("long").alias("label")
     ).localCheckpoint(eager=True)
     prev_sum = labels.agg(F.sum("label")).first()[0]
+    converged = False
     for _ in range(max_iter):
         nbr = (
             e.join(labels.select(F.col("u").alias("v"), "label"), "v")
             .groupBy("u")
             .agg(F.min("label").alias("nbr_label"))
         )
-        labels = (
+        new_labels = (
             labels.join(nbr, "u", "left")
             .select(
                 "u",
@@ -683,11 +684,25 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        cur_sum = labels.agg(F.sum("label")).first()[0]
+        cur_sum = new_labels.agg(F.sum("label")).first()[0]
+        # the new checkpoint is materialized (eager=True), so the superseded
+        # round's blocks can be released now — without this, every round's
+        # checkpoint lives until the job ends (unbounded storage growth)
+        labels.unpersist()
+        labels = new_labels
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
     e.unpersist()
+    if not converged:
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds — returning here would yield silently-wrong component "
+            "labels. The graph's diameter exceeds the round budget; raise "
+            "max_iter (rounds needed ~ graph diameter)."
+        )
     return labels.select(F.col("u").alias("doc_id"), F.col("label").alias("component_id"))
 
 

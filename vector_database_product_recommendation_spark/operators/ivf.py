@@ -37,6 +37,8 @@ def train_kmeans_centroids(
     seed: int = 42,
     max_iter: int = 20,
     max_points_per_centroid: int = 256,
+    max_train_bytes: int = 2 << 30,
+    assign_block: int = 65_536,
 ) -> DataFrame:
     """AN2: (cluster_id, centroid array<double>) — seeded Lloyd on a
     BOUNDED sample, FAISS-style.
@@ -44,12 +46,22 @@ def train_kmeans_centroids(
     FAISS's own IVF training subsamples to Clustering.max_points_per_centroid
     (default 256) points per centroid before running k-means; the reference's
     IndexIVFFlat was trained exactly that way. The Spark analog: sample at
-    most 256*nlist rows (one scan, no shuffle), collect THAT (bounded — at
-    nlist=4096, d=384 it is ~400 MB worst case, independent of corpus size),
-    and run Lloyd iterations in NumPy on the driver. Training a coarse
-    quantizer with a distributed MLlib job costs a full pass over the corpus
-    PER ITERATION — strictly worse at every scale than the bounded-sample
-    plan, and ~10x slower wall-clock at bench scale (see SCALE.md).
+    most 256*nlist rows (one scan, no shuffle), collect THAT via Arrow as
+    float32, and run Lloyd iterations in NumPy on the driver. Training a
+    coarse quantizer with a distributed MLlib job costs a full pass over the
+    corpus PER ITERATION — strictly worse whenever the sample fits on the
+    driver, and ~10x slower wall-clock at bench scale (see SCALE.md).
+
+    Driver memory, honestly: the sample is 4*d*256*nlist bytes of float32
+    (nlist=4096, d=384 -> ~1.6 GiB; nlist=39 at bench scale -> ~15 MiB).
+    The assignment step is CHUNKED (``assign_block`` rows at a time, like
+    FAISS), so its scratch is O(assign_block * nlist), never the full
+    s x k distance matrix (which would be ~34 GiB at nlist=4096). When even
+    the sample exceeds ``max_train_bytes``, points-per-centroid shrinks to
+    fit (floor 16); past that — huge nlist, e.g. the 100-TB-implied
+    nlist~sqrt(N)~5e5, where 16 points/centroid is already ~12 GiB — the
+    trainer falls back to distributed MLlib KMeans, which never collects
+    the sample at all.
 
     Euclidean k-means == spherical k-means on unit vectors (‖a-b‖² = 2-2a·b),
     so the centroids serve the inner-product metric directly. Recall is
@@ -57,34 +69,57 @@ def train_kmeans_centroids(
     metamorphic test; clustering quality only shifts the recall/nprobe
     trade-off, which tests/test_ivf.py bounds.
     """
-    bound = max(nlist * max_points_per_centroid, nlist + 1)
     n = emb.count()
+    d = int(emb.select(F.size(vec_col)).first()[0])
+    ppc = max_points_per_centroid
+    if 4 * d * ppc * nlist > max_train_bytes:
+        ppc = max(16, max_train_bytes // (4 * d * nlist))
+    if 4 * d * ppc * nlist > max_train_bytes:
+        return _mllib_centroids(emb, nlist, vec_col=vec_col, seed=seed, max_iter=max_iter)
+    bound = max(nlist * ppc, nlist + 1)
     sample = emb.select(vec_col)
     if n > bound:
         # seeded Bernoulli sample with slack, trimmed to the bound: one
-        # narrow scan, deterministic for a fixed input partitioning
+        # narrow scan, deterministic for a fixed input partitioning. (The
+        # LIMIT trim is partition-order-dependent: a re-layout of the
+        # source files can shift which rows survive, hence cluster ids
+        # across rebuilds — acceptable for a coarse quantizer, where only
+        # the recall/nprobe trade-off matters, not stable ids.)
         sample = sample.sample(fraction=min(1.0, 1.2 * bound / n), seed=seed).limit(bound)
-    rows = sample.collect()
-    x = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    # Arrow path: one columnar transfer, then one vstack to a float32 matrix
+    # (a Row-object collect costs several x the raw bytes in driver heap)
+    x = np.stack(sample.toPandas()[vec_col].to_numpy()).astype(np.float32)
     s = len(x)
     k = min(nlist, s)
     rng = np.random.default_rng(seed)
-    cents = x[rng.choice(s, size=k, replace=False)].copy()
-    x_sq = (x * x).sum(axis=1)
+    cents = x[rng.choice(s, size=k, replace=False)].astype(np.float32)
+    x_sq = (x.astype(np.float64) ** 2).sum(axis=1)
+    assign = np.zeros(s, dtype=np.int64)
+    adist = np.zeros(s, dtype=np.float64)
     for _ in range(max_iter):
-        # argmin ||x-c||^2 = argmin -2x.c + ||c||^2 (x^2 constant per row)
-        d2 = -2.0 * (x @ cents.T) + (cents * cents).sum(axis=1)[None, :]
-        assign = np.argmin(d2, axis=1)
-        new = np.zeros_like(cents)
-        counts = np.bincount(assign, minlength=k).astype(np.float64)
-        np.add.at(new, assign, x)
+        # chunked argmin ||x-c||^2 = argmin -2x.c + ||c||^2 (x^2 const/row):
+        # peak scratch is O(assign_block * k), never the full s x k distance
+        # matrix; centroid sums accumulate per block, so no full float64
+        # copy of the sample exists at any point either
+        c_sq = (cents.astype(np.float64) ** 2).sum(axis=1)
+        new64 = np.zeros((k, x.shape[1]), dtype=np.float64)
+        counts = np.zeros(k, dtype=np.float64)
+        for lo in range(0, s, assign_block):
+            hi = min(lo + assign_block, s)
+            d2 = -2.0 * (x[lo:hi] @ cents.T).astype(np.float64) + c_sq[None, :]
+            blk = np.argmin(d2, axis=1)
+            assign[lo:hi] = blk
+            adist[lo:hi] = d2[np.arange(hi - lo), blk]
+            np.add.at(new64, blk, x[lo:hi].astype(np.float64))
+            counts += np.bincount(blk, minlength=k)
         nonempty = counts > 0
-        new[nonempty] /= counts[nonempty, None]
+        new64[nonempty] /= counts[nonempty, None]
         if not nonempty.all():
             # re-seed empty clusters at the points farthest from their center
-            far = np.argsort(-(x_sq + d2[np.arange(s), assign]))
-            new[~nonempty] = x[far[: (~nonempty).sum()]]
-        if np.allclose(new, cents, atol=1e-12):
+            far = np.argsort(-(x_sq + adist))
+            new64[~nonempty] = x[far[: (~nonempty).sum()]]
+        new = new64.astype(np.float32)
+        if np.allclose(new, cents, atol=1e-7):
             cents = new
             break
         cents = new
@@ -92,6 +127,25 @@ def train_kmeans_centroids(
     return emb.sparkSession.createDataFrame(
         out, "cluster_id int, centroid array<double>"
     )
+
+
+def _mllib_centroids(
+    emb: DataFrame, nlist: int, *, vec_col: str, seed: int, max_iter: int
+) -> DataFrame:
+    """Distributed KMeans escape hatch for nlist too large to train
+    driver-side (the sample alone would blow ``max_train_bytes``). One full
+    corpus pass per iteration — the price of never collecting vectors."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    vecs = emb.select(array_to_vector(F.col(vec_col)).alias("features"))
+    model = KMeans(k=nlist, seed=seed, maxIter=max_iter).fit(vecs)
+    spark = emb.sparkSession
+    cents = spark.createDataFrame(
+        [(i, [float(v) for v in c]) for i, c in enumerate(model.clusterCenters())],
+        "cluster_id int, centroid array<double>",
+    )
+    return cents
 
 
 def assign_clusters(

@@ -304,8 +304,16 @@ def bm25_search(
     n = docs.agg(F.count(F.lit(1)).alias("n"))
     avgdl = dl.agg(F.avg("dl").alias("avgdl"))
 
+    # re.ASCII pins Python's \w to [a-zA-Z0-9_] so query tokenization is
+    # byte-identical to the corpus side's Java regexp_extract_all (Java \w
+    # is ASCII by default): a non-ASCII query like "café" yields the same
+    # "caf" token both sides instead of silently matching nothing.
     q_terms = sorted(
-        {t for t in re.findall(TOKEN_PATTERN, query_text.lower()) if t not in set(stopwords)}
+        {
+            t
+            for t in re.findall(TOKEN_PATTERN, query_text.lower(), flags=re.ASCII)
+            if t not in set(stopwords)
+        }
     )
     spark = docs.sparkSession
     q = spark.createDataFrame([(t,) for t in q_terms], "term string")

@@ -52,39 +52,50 @@ def register(name: str, oracle: str | None = None):
 
 
 # The driver checks the FIRST 50 entries of queries() per round.
-# Round-3 rotation (VERDICT.md r02 #4): the two r02 AnalysisException
-# regressions (asof / range join — fixed by the source-layer TIMESTAMP
-# normalization), then the eight r02 hash-fails (root cause: any
-# sum(<integer>) output is HUGEINT in DuckDB, which the driver's pandas
-# fetch path renders as float64 — 6 vs 6.0 — while Spark's sum stays
-# int64; every such oracle output is now CAST(... AS BIGINT), and
-# json_roundtrip additionally needed microsecond timestampNTZFormat),
-# then the 40 highest-value r01-only greens so their verdicts refresh —
-# vector/text/dedup families ahead of redundant TPC-H variants. Every
-# remaining registration (r02-green) follows in registration order.
-_R03_PRIORITY = (
-    "events_asof_last_click", "events_range_join",
-    "corpus_prep_pipeline", "hypertable_rollup", "q12_priority_mix",
-    "order_status_pivot", "csv_roundtrip_catalog", "json_roundtrip_events",
-    "orc_roundtrip_embeddings", "q21_waiting_suppliers",
-    "knn_exact_batch", "knn_item_to_item", "pairwise_similarity",
-    "sq8_knn", "two_stage_retrieval", "free_text_search", "hybrid_search",
-    "tfidf_weights", "tfidf_search", "bm25_search", "tfidf_weights_capped",
-    "products_from_reviews", "centroid_by_label", "dedup_exact",
-    "dedup_ngram_jaccard", "minhash_signatures", "dedup_minhash_lsh",
-    "simhash_signatures", "dedup_simhash", "dedup_embedding_cosine",
-    "dedup_components", "doc_text_profile", "lang_id_pred",
-    "doc_fingerprint", "doc_repetition_signals", "events_windowed_agg",
-    "events_sessionization", "events_json_props", "events_rolling_avg",
-    "events_value_percentiles", "events_user_setops", "multimodal_features",
-    "minmax_rescale", "brand_domain", "format_results",
-    "q1_pricing_summary", "q3_shipping_priority", "q6_forecast_revenue",
-    "salted_event_rollup", "revenue_rollup",
+# Round-5 rotation (VERDICT.md r04 task #1): the four queries that have
+# NEVER had a driver row (ivf_store_pruned_probe, pq_knn_refined,
+# events_approx_percentiles, events_stratified_sample) first, then the
+# 46 queries whose driver verdicts are r01/r02-stale (the r03/r04 window
+# re-checked the same 50 twice). `ann_tradeoff` is the one deliberate
+# omission: 51 stale rows don't fit a 50-slot window, and its driver
+# check is rows-only by design (output embeds wall-clock timings) with
+# recall/MRR pytest-bounded — its row is the least informative to
+# refresh. The 50 r04 hash-greens follow in registration order and act
+# as canaries for future rotations.
+_R05_PRIORITY = (
+    # never driver-checked
+    "ivf_store_pruned_probe", "pq_knn_refined",
+    "events_approx_percentiles", "events_stratified_sample",
+    # r01/r02-stale, vector/ANN family
+    "ivf_knn_probe", "ivf_knn_exactprobe", "ivf_store_exactprobe",
+    "pq_knn_exactrefine", "recommend_similar_docs",
+    "free_text_filtered_search", "dedup_embedding_lsh",
+    # r01/r02-stale, text/dedup family
+    "winnow_fingerprints", "dedup_winnowing", "doc_context_chunks",
+    # r01/r02-stale, events/streaming family
+    "events_user_running_total", "events_approx_uniques",
+    "events_enriched_segment_counts", "events_click_attribution",
+    "events_zscore_outliers", "events_stratified_hash_sample",
+    "events_props_map_explode", "snapshot_upsert", "cdc_latest_state",
+    # r01/r02-stale, multimodal
+    "multimodal_audio_frames", "multimodal_resize_meta",
+    # r01/r02-stale, relational breadth
+    "q2_min_cost_supplier", "q4_order_priority", "q5_regional_revenue",
+    "q7_volume_shipping", "q8_market_share", "q9_profit_by_nation_year",
+    "q10_returned_items", "q11_important_parts",
+    "q13_order_count_distribution", "q14_promo_revenue",
+    "q15_top_supplier", "q16_supplier_diversity",
+    "q17_small_quantity_revenue", "q18_large_orders",
+    "q19_disjunctive_revenue", "q20_heavy_red_suppliers",
+    "q22_dormant_balance", "dormant_customers", "cheapest_part_per_brand",
+    "top_parts_per_brand", "nation_revenue_cube",
+    "partitioned_orders_pruned", "orders_schema_evolution_union",
+    "sql_api_star_join", "orders_by_day_of_week",
 )
 
 
 def queries() -> dict[str, QueryFn]:
-    front = {n: _QUERIES[n] for n in _R03_PRIORITY if n in _QUERIES}
+    front = {n: _QUERIES[n] for n in _R05_PRIORITY if n in _QUERIES}
     rest = {n: f for n, f in _QUERIES.items() if n not in front}
     return {**front, **rest}
 

@@ -30,16 +30,40 @@ def load_reviews(spark: SparkSession, csv_path: str) -> DataFrame:
     """reviews.csv with an explicit minted row index.
 
     multiLine + escape handle quoted review bodies with embedded newlines.
-    File order -> review_idx via monotonically_increasing_id: valid because
-    a single CSV file scans as one partition; a sharded ingest would sort
-    on an explicit key instead (the id is minted ONCE at ingest and is a
-    real column from then on).
+
+    review_idx = (lexicographic file order, row order within file) — the
+    deterministic, distributed mint (SURVEY.md section 1.5 hard-part i):
+
+    - within a file: multiLine CSV is unsplittable, so each file is parsed
+      start-to-finish by exactly one task and monotonically_increasing_id
+      is monotone in file order there; `row_number` over a PER-FILE window
+      turns it into a dense local rank. The window shuffles keyed by file
+      path — parallelism = #files, never the old 1-task global window that
+      both collapsed ingest and silently mis-ordered multi-file input.
+    - across files: per-file counts (one tiny agg, #files rows) become
+      cumulative offsets on the driver in lexicographic path order —
+      sharded exports (part-00000, part-00001, ...) sort correctly.
+
+    The id is minted ONCE at ingest and is a real column from then on.
     """
     df = spark.read.csv(
         csv_path, header=True, multiLine=True, escape='"', schema=REVIEWS_SCHEMA
     )
-    w = Window.orderBy(F.monotonically_increasing_id())
-    return df.withColumn("review_idx", F.row_number().over(w) - 1)
+    df = df.withColumn("_file", F.input_file_name()).withColumn(
+        "_mid", F.monotonically_increasing_id()
+    )
+    w = Window.partitionBy("_file").orderBy("_mid")
+    df = df.withColumn("_local", F.row_number().over(w) - 1)
+    counts = {r["_file"]: r["cnt"] for r in df.groupBy("_file").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    offsets, running = {}, 0
+    for path in sorted(counts):
+        offsets[path] = running
+        running += counts[path]
+    off = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    return (
+        df.withColumn("review_idx", (off[F.col("_file")] + F.col("_local")).cast("int"))
+        .drop("_file", "_mid", "_local")
+    )
 
 
 def load_embeddings_npy(spark: SparkSession, npy_path: str) -> DataFrame:
