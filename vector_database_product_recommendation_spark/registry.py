@@ -51,53 +51,43 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-# The driver checks the FIRST 50 entries of queries() per round.
-# Round-5 rotation (VERDICT.md r04 task #1): the four queries that have
-# NEVER had a driver row (ivf_store_pruned_probe, pq_knn_refined,
-# events_approx_percentiles, events_stratified_sample) first, then the
-# 46 queries whose driver verdicts are r01/r02-stale (the r03/r04 window
-# re-checked the same 50 twice). `ann_tradeoff` is the one deliberate
-# omission: 51 stale rows don't fit a 50-slot window, and its driver
-# check is rows-only by design (output embeds wall-clock timings) with
-# recall/MRR pytest-bounded — its row is the least informative to
-# refresh. The 50 r04 hash-greens follow in registration order and act
-# as canaries for future rotations.
-_R05_PRIORITY = (
-    # never driver-checked
-    "ivf_store_pruned_probe", "pq_knn_refined",
-    "events_approx_percentiles", "events_stratified_sample",
-    # r01/r02-stale, vector/ANN family
-    "ivf_knn_probe", "ivf_knn_exactprobe", "ivf_store_exactprobe",
-    "pq_knn_exactrefine", "recommend_similar_docs",
-    "free_text_filtered_search", "dedup_embedding_lsh",
-    # r01/r02-stale, text/dedup family
-    "winnow_fingerprints", "dedup_winnowing", "doc_context_chunks",
-    # r01/r02-stale, events/streaming family
-    "events_user_running_total", "events_approx_uniques",
-    "events_enriched_segment_counts", "events_click_attribution",
-    "events_zscore_outliers", "events_stratified_hash_sample",
-    "events_props_map_explode", "snapshot_upsert", "cdc_latest_state",
-    # r01/r02-stale, multimodal
-    "multimodal_audio_frames", "multimodal_resize_meta",
-    # r01/r02-stale, relational breadth
-    "q2_min_cost_supplier", "q4_order_priority", "q5_regional_revenue",
-    "q7_volume_shipping", "q8_market_share", "q9_profit_by_nation_year",
-    "q10_returned_items", "q11_important_parts",
-    "q13_order_count_distribution", "q14_promo_revenue",
-    "q15_top_supplier", "q16_supplier_diversity",
-    "q17_small_quantity_revenue", "q18_large_orders",
-    "q19_disjunctive_revenue", "q20_heavy_red_suppliers",
-    "q22_dormant_balance", "dormant_customers", "cheapest_part_per_brand",
-    "top_parts_per_brand", "nation_revenue_cube",
-    "partitioned_orders_pruned", "orders_schema_evolution_union",
-    "sql_api_star_join", "orders_by_day_of_week",
-)
+# The driver checks the FIRST 50 entries of queries() per round, so the
+# ordering of this dict IS the correctness window. Rounds 3-6 proved a
+# hardcoded priority tuple freezes (r05's tuple was re-checked verbatim
+# in r06, leaving 51 queries with stale driver rows) — so rotation is now
+# disk-driven: read which CORRECTNESS_r*.json files exist, find each
+# query's most recent driver row, and front the never-checked / oldest
+# rows. New queries (no row anywhere) sort first; ties break by
+# registration order. No manual edit is ever needed again — each round's
+# artifact automatically pushes its 50 queries to the back of the line.
+def _latest_driver_round() -> dict[str, int]:
+    import glob
+    import json
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest: dict[str, int] = {}
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for qname in rows:
+            latest[qname] = max(latest.get(qname, -1), rnd)
+    return latest
 
 
 def queries() -> dict[str, QueryFn]:
-    front = {n: _QUERIES[n] for n in _R05_PRIORITY if n in _QUERIES}
-    rest = {n: f for n, f in _QUERIES.items() if n not in front}
-    return {**front, **rest}
+    latest = _latest_driver_round()
+    order = {n: i for i, n in enumerate(_QUERIES)}
+    names = sorted(_QUERIES, key=lambda n: (latest.get(n, -1), order[n]))
+    return {n: _QUERIES[n] for n in names}
 
 
 def oracle_sql() -> dict[str, str]:
