@@ -92,9 +92,11 @@ def exact_knn(
         # Arrow batches, then rank ONCE per task. Per batch we keep every
         # row whose score ties-or-beats the kk-th largest for its query
         # (np.partition threshold) — a provable superset of the true
-        # (score desc, id asc) top-k, selected without any per-query
-        # Python loop (the loop costs ~0.5ms/query/batch; see SCALE.md
-        # "Bulk-KNN floor").
+        # (score desc, id asc) top-k, selected with no per-query Python
+        # loop. SCALE.md "Bulk-KNN floor" has the measured breakdown of
+        # where this kernel's milliseconds go (selection dominates the
+        # matmul ~20:1 at reference shapes; both are dwarfed by fixed
+        # job dispatch + Arrow at small corpora).
         cand_q: list[np.ndarray] = []
         cand_n: list[np.ndarray] = []
         cand_s: list[np.ndarray] = []
