@@ -192,24 +192,51 @@ def main() -> None:
     except Exception:
         pass
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": _sf_of(SF_DIR),
-                "startup_sec": round(startup, 2),
-                "artifact_build_sec": round(artifact_build, 2),
-                "runs": 3,
-                "median3_queries": median3,
-                **extras,
-                "framing": "per-query numbers are batch wall-clock on local[32]; "
-                "see BASELINE.md 'Rebuild benchmark framing'",
-            }
-        )
-    )
+    payload = {
+        "metric": "total_query_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_of(SF_DIR),
+        "startup_sec": round(startup, 2),
+        "artifact_build_sec": round(artifact_build, 2),
+        "runs": 3,
+        "median3_queries": median3,
+        **extras,
+        "framing": "per-query numbers are batch wall-clock on local[32]; "
+        "see BASELINE.md 'Rebuild benchmark framing'",
+    }
+
+    # Full summary -> a committed file the judge can diff round-over-round
+    # (the driver records only a 2000-char stdout tail, which truncated the
+    # one-line JSON for 14 straight rounds and left "parsed": null).
+    try:
+        with open(os.path.join(REPO, "BENCH_SUMMARY.json"), "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError as e:
+        print(f"# could not write BENCH_SUMMARY.json: {e}", file=sys.stderr)
+
+    # Final stdout line: the same payload, compacted to fit the driver's
+    # 2000-char tail so it machine-parses. Drop the verbose fields first,
+    # then (deterministically, slowest-first so regression tables keep the
+    # interesting rows) trim the queries map until the line fits.
+    line_budget = 1900
+    compact = dict(payload)
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > line_budget:
+        compact.pop("median3_queries", None)
+        compact.pop("framing", None)
+        compact["full_summary"] = "BENCH_SUMMARY.json"
+        by_time = sorted(timings, key=lambda n: -timings[n])
+        keep = len(by_time)
+        line = json.dumps(compact, separators=(",", ":"))
+        while len(line) > line_budget and keep > 0:
+            keep -= 1
+            compact["queries"] = {n: timings[n] for n in by_time[:keep]}
+            compact["queries_omitted"] = len(by_time) - keep
+            line = json.dumps(compact, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

@@ -86,14 +86,22 @@ def train_kmeans_centroids(
         # across rebuilds — acceptable for a coarse quantizer, where only
         # the recall/nprobe trade-off matters, not stable ids.)
         sample = sample.sample(fraction=min(1.0, 1.2 * bound / n), seed=seed).limit(bound)
-    # Arrow path: one columnar transfer, then one vstack to a float32 matrix
-    # (a Row-object collect costs several x the raw bytes in driver heap)
-    x = np.stack(sample.toPandas()[vec_col].to_numpy()).astype(np.float32)
+    # Arrow path: one columnar transfer, then per-row float32 conversion
+    # before stacking — np.stack(...).astype(float32) would materialize a
+    # transient float64 matrix 2x the final size, breaking the 4 B/elem
+    # assumption behind the max_train_bytes guard above. Peak extra here is
+    # one float64 row, not the whole sample.
+    cells = sample.toPandas()[vec_col].to_numpy()
+    x = np.empty((len(cells), d), dtype=np.float32)
+    for i, v in enumerate(cells):
+        x[i] = np.asarray(v, dtype=np.float32)
+    del cells
     s = len(x)
     k = min(nlist, s)
     rng = np.random.default_rng(seed)
     cents = x[rng.choice(s, size=k, replace=False)].astype(np.float32)
-    x_sq = (x.astype(np.float64) ** 2).sum(axis=1)
+    # einsum with an explicit accumulate dtype: no full float64 copy of x
+    x_sq = np.einsum("ij,ij->i", x, x, dtype=np.float64)
     assign = np.zeros(s, dtype=np.int64)
     adist = np.zeros(s, dtype=np.float64)
     for _ in range(max_iter):
@@ -136,7 +144,7 @@ def _mllib_centroids(
     driver-side (the sample alone would blow ``max_train_bytes``). One full
     corpus pass per iteration — the price of never collecting vectors."""
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     vecs = emb.select(array_to_vector(F.col(vec_col)).alias("features"))
     model = KMeans(k=nlist, seed=seed, maxIter=max_iter).fit(vecs)

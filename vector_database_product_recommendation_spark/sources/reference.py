@@ -53,15 +53,20 @@ def load_reviews(spark: SparkSession, csv_path: str) -> DataFrame:
         "_mid", F.monotonically_increasing_id()
     )
     w = Window.partitionBy("_file").orderBy("_mid")
-    df = df.withColumn("_local", F.row_number().over(w) - 1)
+    # persist BEFORE the counts action: multiLine CSV is expensive to parse
+    # (unsplittable, quote-scanning) and without the persist both the counts
+    # agg and every downstream consumer would re-parse the files from scratch.
+    df = df.withColumn("_local", F.row_number().over(w) - 1).persist()
     counts = {r["_file"]: r["cnt"] for r in df.groupBy("_file").agg(F.count(F.lit(1)).alias("cnt")).collect()}
     offsets, running = {}, 0
     for path in sorted(counts):
         offsets[path] = running
         running += counts[path]
     off = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    # long, not int: a 100-TB reviews corpus passes 2^31 rows and an int
+    # cast would silently wrap the minted id.
     return (
-        df.withColumn("review_idx", (off[F.col("_file")] + F.col("_local")).cast("int"))
+        df.withColumn("review_idx", (off[F.col("_file")] + F.col("_local")).cast("long"))
         .drop("_file", "_mid", "_local")
     )
 
