@@ -12,11 +12,12 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 import sys
 import time
 
 REPO = "/root/repo"
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()

@@ -129,16 +129,31 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.2,
     max_df: int = 100,
+    sort: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs by word-n-gram Jaccard, found with an
     inverted-index self-join (never an N^2 cross join).
 
     Jaccard is computed over the capped shingle space (df <= max_df, see
     module docstring). Returns (id_a, id_b, jaccard), id_a < id_b.
+
+    Physical shape (the ssjoin staples, both exact — the result set is
+    unchanged):
+    - per-doc capped sizes ride ALONG the index rows into the self-join
+      and become grouping keys, so the pair table (the largest relation
+      here — candidate pairs routinely outnumber index rows) never joins
+      back against the size table; the old shape shuffled the pair table
+      twice more for those joins.
+    - length-ratio prune inside the join condition: round6(jaccard) >= t
+      forces min(sz) >= (t - 5e-7) * max(sz), so pairs outside the size
+      band are dropped before the pair aggregate ever sees them.
+
+    ``sort=False`` skips the presentation orderBy (a full range-exchange)
+    for composite consumers (dedup_components) that immediately reshuffle.
     """
     sh = _doc_shingles_py(docs, id_col, text_col, n).select(
         "doc_id", F.explode("shingles").alias("shingle")
-    ).persist()  # feeds df-count, sizes, and both sides of the self-join
+    ).persist()  # feeds df-count and (via the cap join) sizes + self-join
     cold = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -147,29 +162,35 @@ def ngram_jaccard_pairs(
     )
     sh = sh.join(cold, "shingle")  # keep only cold shingles
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
+    shz = sh.join(sizes, "doc_id")  # index rows carry their doc's size
+    a, b = shz.alias("a"), shz.alias("b")
+    tol = threshold - 1e-6  # slack for the 6-decimal round-up edge
     common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.sz") >= tol * F.col("b.sz"))
+            & (F.col("b.sz") >= tol * F.col("a.sz")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
-    return (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                F.col("common").cast("double")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("common")).cast("double"),
-                6,
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .orderBy("id_a", "id_b")
-    )
+    out = common.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("common").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("common")).cast("double"),
+            6,
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+    return out.orderBy("id_a", "id_b") if sort else out
 
 
 def _minhash_col(shingles: Column, num_hashes: int) -> Column:
@@ -648,10 +669,14 @@ def connected_components(
     small-star trick only pays off for high-diameter graphs such as web
     link graphs, not dedup clusters).
 
-    Scale notes: each round is one shuffle keyed by vertex id over the
-    (vertex, label) table — text never moves. ``localCheckpoint`` after
-    every round truncates the lineage so round N's plan does not replay
-    rounds 1..N-1. Convergence is detected with a single scalar aggregate
+    Scale notes: the (undirected) edge table — the BIG relation — is
+    hash-partitioned on its join key once and persisted, so each round
+    shuffles only the current (vertex, label) table; the per-round
+    neighbor-min is a single union + min aggregate (map-side partial
+    combine shrinks neighbor labels before the exchange) instead of a
+    join-back. Text never moves. ``localCheckpoint`` after every round
+    truncates the lineage so round N's plan does not replay rounds
+    1..N-1. Convergence is detected with a single scalar aggregate
     (labels are monotone non-increasing, so an unchanged label sum means a
     fixed point) instead of a per-row change join.
 
@@ -664,24 +689,31 @@ def connected_components(
     Returns (doc_id, component_id) with component_id = min doc_id reachable.
     """
     e = edges.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
-    e = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
+    # pre-partition the (big, round-invariant) edge table by its join key
+    # BEFORE persisting: every round's join then reuses the cached layout
+    # and only the (small, changing) label table crosses an exchange
+    e = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .repartition(F.col("v"))
+        .persist()
+    )
     labels = vertices.select(
         F.col(id_col).cast("long").alias("u"), F.col(id_col).cast("long").alias("label")
     ).localCheckpoint(eager=True)
     prev_sum = labels.agg(F.sum("label")).first()[0]
     converged = False
     for _ in range(max_iter):
-        nbr = (
-            e.join(labels.select(F.col("u").alias("v"), "label"), "v")
-            .groupBy("u")
-            .agg(F.min("label").alias("nbr_label"))
+        # new label = min(own, every neighbor's): one union + one min
+        # aggregate. Every u appears on the `labels` branch, so vertices
+        # without neighbors keep their label — identical semantics to a
+        # left-join + least(), minus two exchanges per round.
+        nbr = e.join(labels.select(F.col("u").alias("v"), "label"), "v").select(
+            "u", "label"
         )
         new_labels = (
-            labels.join(nbr, "u", "left")
-            .select(
-                "u",
-                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
-            )
+            labels.unionByName(nbr)
+            .groupBy("u")
+            .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
         cur_sum = new_labels.agg(F.sum("label")).first()[0]
@@ -723,7 +755,13 @@ def dedup_components(
     Returns (doc_id, component_id, is_kept) sorted by doc_id.
     """
     pairs = ngram_jaccard_pairs(
-        docs, id_col=id_col, text_col=text_col, n=n, threshold=threshold, max_df=max_df
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        n=n,
+        threshold=threshold,
+        max_df=max_df,
+        sort=False,  # edges feed a shuffle immediately; the sort is waste
     )
     comp = connected_components(docs.select(id_col), pairs, id_col=id_col)
     return comp.select(

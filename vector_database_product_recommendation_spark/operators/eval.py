@@ -72,14 +72,25 @@ def ann_tradeoff(
         assigned.count()  # materialize so per-nprobe timing excludes assignment
         owns_assigned = True
 
+    # Collect the (small) query batch and centroid table ONCE — the sweep
+    # reuses them across every per-nprobe probe and the exact oracle, so
+    # no per-iteration collect job ever runs inside a timed bracket.
+    qrows = queries.collect()
+    n_q = len(qrows)
+    cent_rows = cents.orderBy("cluster_id").collect()
+
     exact = exact_knn(
-        emb, queries, k, corpus_id=id_col, corpus_vec=vec_col, exclude_self=True
+        emb,
+        queries,
+        k,
+        corpus_id=id_col,
+        corpus_vec=vec_col,
+        exclude_self=True,
+        query_rows=qrows,
     ).persist()
     exact_top1 = exact.filter(F.col("rank") == 1).select(
         "query_id", F.col("neighbor_id").alias("nn1")
     )
-    qrows = queries.collect()
-    n_q = len(qrows)
 
     # Phase 1 — one timed materialization per nprobe (the latency metric
     # needs its own wall-clock bracket, exactly like app.py:393-399).
@@ -96,6 +107,7 @@ def ann_tradeoff(
             corpus_vec=vec_col,
             exclude_self=True,
             query_rows=qrows,
+            centroid_rows=cent_rows,
         ).persist()
         ivf.count()
         per_probe.append((nprobe, (time.time() - t0) * 1000.0, ivf))

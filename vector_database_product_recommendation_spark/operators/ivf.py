@@ -202,6 +202,7 @@ def ivf_knn(
     exclude_self: bool = False,
     round_decimals: int = 6,
     query_rows: list | None = None,
+    centroid_rows: list | None = None,
 ) -> DataFrame:
     """AN4: per-query top-k over the union of its nprobe best clusters.
 
@@ -210,65 +211,131 @@ def ivf_knn(
     semi-join becomes partition pruning — only nprobe/nlist of the data is
     read per query batch.
 
+    Like exact_knn, the scoring kernel keeps only its task-local top-k per
+    query (score rounded BEFORE selection, ties by neighbor id), so the
+    merge shuffle moves O(q * k * n_tasks) rows instead of every scored
+    candidate — at 100 TB the probed candidate set is nprobe/nlist of the
+    corpus, which must never cross an exchange. A single-task candidate
+    scan (the cached serving layout) elides the merge window entirely.
+
     ``query_rows``: pre-collected (query_id, query_vec) rows — callers
     probing the same batch repeatedly (the nprobe sweep) pass them once
-    instead of re-running the collect job per call.
+    instead of re-running the collect job per call. ``centroid_rows``:
+    same for the (tiny) centroid table, ordered by cluster_id.
     """
     spark = assigned.sparkSession
-    cent = centroids.orderBy("cluster_id").collect()
+    cent = centroid_rows if centroid_rows is not None else centroids.orderBy("cluster_id").collect()
     cmat = np.stack([np.asarray(r["centroid"], dtype=np.float64) for r in cent])
     cids = np.array([r["cluster_id"] for r in cent])
 
     qrows = query_rows if query_rows is not None else queries.select(query_id, query_vec).collect()
     if not qrows:
         raise ValueError("empty query batch")
-    probe_rows = []
-    for r in qrows:
+    # cluster -> row indices of the queries that probe it. The probe map
+    # ships in the task closure (it is O(q * nprobe) ints) instead of a
+    # broadcast-joined table: corpus rows then cross the Python boundary
+    # ONCE each, not once per probing query, and the cluster filter is a
+    # plain pushable isin — native PARTITION PRUNING on the ivf_store
+    # layout with no runtime (DPP) machinery needed.
+    probe_map: dict[int, list[int]] = {}
+    for qi, r in enumerate(qrows):
         qv = np.asarray(r[1], dtype=np.float64)
         sims = cmat @ qv
         # deterministic centroid ranking: (-sim, cluster_id)
         top = cids[np.lexsort((cids, -sims))[: min(nprobe, len(cids))]]
-        probe_rows.extend((r[0], int(c)) for c in top)
-    probed = spark.createDataFrame(
-        probe_rows, f"query_id {queries.schema[query_id].dataType.simpleString()}, cluster_id int"
-    )
+        for c in top:
+            probe_map.setdefault(int(c), []).append(qi)
 
     # Score candidates with a vectorized Arrow kernel — the query batch is
-    # already on the driver, so ship a qid->vector map in the closure and
-    # do one row-wise BLAS dot per batch (the interpreted zip_with dot
-    # costs ~200x more per element).
-    qmap = {r[0]: np.asarray(r[1], dtype=np.float64) for r in qrows}
+    # already on the driver. Per batch, rows group by cluster and one BLAS
+    # matmul scores each cluster's rows against exactly the queries that
+    # probed it. Each task emits only its local top-k per query (exact
+    # task-level (score desc, id asc) ordering after rounding — identical
+    # selection semantics to the global window).
+    q_ids = np.array([r[0] for r in qrows])
+    q_mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
     qid_dtype = queries.schema[query_id].dataType.simpleString()
     nid_dtype = assigned.schema[corpus_id].dataType.simpleString()
     dec = round_decimals
+    excl = exclude_self
+    k_local = k
+
+    def _topk(cq: np.ndarray, cn: np.ndarray, cs: np.ndarray):
+        """Exact (query, score desc, id asc) ranks; returns arrays + rank."""
+        order = np.lexsort((cn, -cs, cq))
+        cq, cn, cs = cq[order], cn[order], cs[order]
+        uniq, counts = np.unique(cq, return_counts=True)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        rank = np.arange(len(cq)) - np.repeat(starts, counts) + 1
+        sel = rank <= k_local
+        return cq[sel], cn[sel], cs[sel], rank[sel]
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cand_q: list[np.ndarray] = []
+        cand_n: list[np.ndarray] = []
+        cand_s: list[np.ndarray] = []
         for pdf in batches:
             if pdf.empty:
                 continue
             emb_mat = np.stack(pdf[corpus_vec].to_numpy()).astype(np.float64)
-            qmat = np.stack([qmap[q] for q in pdf["query_id"]])
-            s = np.round((emb_mat * qmat).sum(axis=1), dec)
-            yield pd.DataFrame(
-                {
-                    "query_id": pdf["query_id"],
-                    "neighbor_id": pdf[corpus_id],
-                    "score": s,
-                }
-            )
-
-    cand = (
-        assigned.join(F.broadcast(probed), "cluster_id")
-        .select("query_id", corpus_id, corpus_vec)
-        .mapInPandas(
-            score, f"query_id {qid_dtype}, neighbor_id {nid_dtype}, score double"
+            na_all = pdf[corpus_id].to_numpy()
+            cl = pdf["cluster_id"].to_numpy()
+            bq: list[np.ndarray] = []
+            bn: list[np.ndarray] = []
+            bs: list[np.ndarray] = []
+            for c in np.unique(cl):
+                qidx = probe_map.get(int(c))
+                if not qidx:
+                    continue
+                rows = np.nonzero(cl == c)[0]
+                s = np.round(emb_mat[rows] @ q_mat[qidx].T, dec)  # (nr, nq_c)
+                nr = len(rows)
+                bq.append(np.repeat(np.asarray(qidx), nr))
+                bn.append(np.tile(na_all[rows], len(qidx)))
+                bs.append(s.T.ravel())
+            if not bq:
+                continue
+            qa = np.concatenate(bq)
+            na = np.concatenate(bn)
+            s = np.concatenate(bs)
+            if excl:
+                keep = na != q_ids[qa]
+                qa, na, s = qa[keep], na[keep], s[keep]
+            # per-batch prune to the batch-local top-k (exact superset of
+            # the task-level top-k) so task memory stays O(q * k * batches)
+            qa, na, s, _ = _topk(qa, na, s)
+            cand_q.append(qa)
+            cand_n.append(na)
+            cand_s.append(s)
+        if not cand_q:
+            return
+        cq, cn, cs, rank = _topk(
+            np.concatenate(cand_q), np.concatenate(cand_n), np.concatenate(cand_s)
         )
+        yield pd.DataFrame(
+            {
+                "query_id": q_ids[cq],
+                "neighbor_id": cn,
+                "score": cs,
+                "rank": rank.astype(np.int32),
+            }
+        )
+
+    pool = assigned.filter(
+        F.col("cluster_id").isin(sorted(probe_map))
+    ).select("cluster_id", corpus_id, corpus_vec)
+    partial = pool.mapInPandas(
+        score,
+        f"query_id {qid_dtype}, neighbor_id {nid_dtype}, score double, rank int",
     )
-    if exclude_self:
-        cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
+    if pool.rdd.getNumPartitions() == 1:
+        # one scan task -> task-local ranks ARE global (same elision as
+        # exact_knn); no exchange at all beyond the output sort
+        return partial.orderBy("query_id", "rank")
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
-        cand.withColumn("rank", F.row_number().over(w))
+        partial.drop("rank")
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
