@@ -79,7 +79,11 @@ class ProductSearchEngine:
             rebuild_products,
         )
 
-        reviews = load_reviews(spark, f"{ref_dir}/reviews.csv").cache()
+        # no .cache() here: load_reviews already persists the (expensive,
+        # unsplittable multiLine) CSV parse; the returned frame only adds a
+        # map lookup + cast on top of that cache, and re-caching it would
+        # pin a second, redundant copy of every row
+        reviews = load_reviews(spark, f"{ref_dir}/reviews.csv")
         review_emb = load_embeddings_npy(
             spark, f"{ref_dir}/review_embeddings.npy"
         ).cache()

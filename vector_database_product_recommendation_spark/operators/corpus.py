@@ -12,12 +12,13 @@ dedup). Everything is a single-pass column expression except the dedup,
 which is one hash shuffle on the fingerprint; the funnel summary is three
 tiny aggregates over the same persisted profile.
 
-Scale notes: the profile projection is pure whole-stage-codegen (no UDF,
-no Python); the gate is a pushed-down filter; fingerprint dedup shuffles
-only (fingerprint, doc_id, n_tokens) — never the text payload. At 100 TB
-the win of profiling BEFORE shuffling is the whole game: survivors of the
-gate are typically a small fraction of input, so the dedup shuffle moves
-a fraction of the corpus.
+Scale notes: the profile projection is ONE row-local Arrow kernel pass
+(functions/textprof.py — the value-identical twin of the functions.text
+expressions, whose interpreted HOF lambdas cost ~10x the scan); the
+fingerprint dedup shuffles only (fingerprint, doc_id, n_tokens) — never
+the text payload. At 100 TB the win of profiling BEFORE shuffling is the
+whole game: survivors of the gate are typically a small fraction of
+input, so the dedup shuffle moves a fraction of the corpus.
 """
 
 from __future__ import annotations
@@ -25,12 +26,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from vector_database_product_recommendation_spark.functions.text import (
-    doc_fingerprint,
-    lang_id,
-    quality_score,
-    token_count_ws,
-)
+from vector_database_product_recommendation_spark.functions.textprof import profile_docs_py
 from vector_database_product_recommendation_spark.sources.tables import load_table
 
 
@@ -51,12 +47,11 @@ def corpus_prep_pipeline(
     fingerprint window sorts gate-survivors first, so rank 1 is the
     lowest gated doc_id — non-gated rows never win a group."""
     docs = load_table(spark, sf_dir, "documents")
-    prof = docs.select(
-        "doc_id",
-        lang_id("text").alias("lang"),
-        quality_score("text").alias("quality"),
-        token_count_ws("text").alias("n_tokens"),
-        doc_fingerprint("text").alias("fingerprint"),
+    # one Arrow kernel pass for the whole profile (value-identical twin of
+    # the functions.text expressions — see functions/textprof.py; the
+    # interpreted lang_id/quality HOF lambdas alone cost ~10x the scan)
+    prof = profile_docs_py(
+        docs, ("lang", "quality", "n_tokens", "fingerprint")
     )
 
     g = (F.col("lang") == F.lit(lang)) & (F.col("quality") >= F.lit(min_quality))

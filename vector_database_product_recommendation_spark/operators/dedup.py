@@ -564,9 +564,12 @@ def embedding_near_dup_lsh(
                 {"vid": ids, "band_idx": band_idx, "band_key": band_key}
             )
 
+    # persisted: the band self-join reads it twice (the broadcast build
+    # side has no exchange to reuse, so without the cache the signature
+    # kernel — a full Arrow pass over the corpus — runs once per side)
     banded = emb.select(id_col, vec_col).mapInPandas(
         sign_bands, f"vid {id_dtype}, band_idx int, band_key long"
-    )
+    ).persist()
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -600,57 +603,55 @@ def winnow_fingerprints_df(
     text_col: str = "text",
     k: int = 4,
     w: int = 5,
+    sort: bool = True,
 ) -> DataFrame:
     """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
     MOSS algorithm): hash every k-gram of the token stream, keep the MIN
     of each w-wide window of k-gram hashes, dedup per document. Guarantees
     any shared token run of length >= w+k-1 shares a fingerprint.
 
-    Shape: explode k-gram positions -> one md5 per k-gram (computed ONCE;
-    a nested array-transform formulation re-evaluates the k-gram array per
-    window element and goes quadratic) -> rolling min as a window frame
-    (ROWS BETWEEN CURRENT AND w-1 FOLLOWING) -> distinct. One shuffle,
-    keyed on the document id. Documents shorter than k tokens fingerprint
-    to the hash of their whole token stream; documents with fewer than w
-    k-grams to the min k-gram hash (the i=1 window truncates at the end,
-    yielding exactly that).
+    Shape: the whole computation is ROW-LOCAL (k-gram hashes, rolling
+    window min, per-doc distinct all live inside one document), so it runs
+    as a single Arrow mapInPandas pass with ZERO shuffles — the previous
+    explode -> per-doc window -> global distinct formulation paid two hash
+    exchanges of the exploded k-gram table for work no other row ever
+    sees. Semantics (bit-identical, the DuckDB oracle twin is unchanged):
+    documents shorter than k tokens fingerprint to the hash of their whole
+    token stream; documents with fewer than w k-grams to the min k-gram
+    hash (the first window truncates at the end, yielding exactly that).
 
-    Returns (doc_id, fp) sorted.
+    Returns (doc_id, fp); sorted by (doc_id, fp) unless ``sort=False``
+    (composite consumers that immediately reshuffle skip the presentation
+    range-exchange).
     """
-    from pyspark.sql import Window
+    src = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t"))
+    dtype = src.schema["doc_id"].dataType.simpleString()
 
-    from vector_database_product_recommendation_spark.functions.text import hash60, tokens_ws
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids: list = []
+            fps: list[int] = []
+            for did, t in zip(pdf["doc_id"], pdf["__t"]):
+                toks = (t or "").lower().split()
+                n = len(toks)
+                if n < k:
+                    doc_fps = {_md5_60(" ".join(toks))}
+                else:
+                    hs = [
+                        _md5_60(" ".join(toks[i : i + k])) for i in range(n - k + 1)
+                    ]
+                    m = len(hs)
+                    keep = max(m - w + 1, 1)
+                    doc_fps = {min(hs[i : i + w]) for i in range(keep)}
+                sorted_fps = sorted(doc_fps)
+                ids.extend([did] * len(sorted_fps))
+                fps.extend(sorted_fps)
+            yield pd.DataFrame({"doc_id": ids, "fp": fps})
 
-    base = docs.select(
-        F.col(id_col).alias("doc_id"), tokens_ws(text_col).alias("toks")
-    ).withColumn("n", F.size("toks"))
-
-    short = base.filter(F.col("n") < k).select(
-        "doc_id", hash60(F.array_join("toks", " ")).alias("fp")
-    )
-
-    grams = (
-        base.filter(F.col("n") >= k)
-        .select(
-            "doc_id",
-            (F.col("n") - F.lit(k - 1)).alias("m"),
-            F.explode(F.sequence(F.lit(1), F.col("n") - F.lit(k - 1))).alias("i"),
-            "toks",
-        )
-        .select(
-            "doc_id",
-            "m",
-            "i",
-            hash60(F.array_join(F.slice("toks", F.col("i"), k), " ")).alias("h"),
-        )
-    )
-    win = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, w - 1)
-    fps = (
-        grams.withColumn("wmin", F.min("h").over(win))
-        .filter(F.col("i") <= F.greatest(F.col("m") - F.lit(w - 1), F.lit(1)))
-        .select("doc_id", F.col("wmin").alias("fp"))
-    )
-    return short.unionByName(fps).distinct().orderBy("doc_id", "fp")
+    out = src.mapInPandas(kernel, f"doc_id {dtype}, fp long")
+    return out.orderBy("doc_id", "fp") if sort else out
 
 
 def connected_components(

@@ -52,16 +52,20 @@ def train_kmeans_centroids(
     corpus PER ITERATION — strictly worse whenever the sample fits on the
     driver, and ~10x slower wall-clock at bench scale (see SCALE.md).
 
-    Driver memory, honestly: the sample is 4*d*256*nlist bytes of float32
-    (nlist=4096, d=384 -> ~1.6 GiB; nlist=39 at bench scale -> ~15 MiB).
-    The assignment step is CHUNKED (``assign_block`` rows at a time, like
-    FAISS), so its scratch is O(assign_block * nlist), never the full
-    s x k distance matrix (which would be ~34 GiB at nlist=4096). When even
-    the sample exceeds ``max_train_bytes``, points-per-centroid shrinks to
-    fit (floor 16); past that — huge nlist, e.g. the 100-TB-implied
-    nlist~sqrt(N)~5e5, where 16 points/centroid is already ~12 GiB — the
-    trainer falls back to distributed MLlib KMeans, which never collects
-    the sample at all.
+    Driver memory, honestly: the transfer peak is 12*d*ppc*nlist bytes —
+    the Arrow float64 columnar batch (8 B/elem, the wire format) plus the
+    float32 training matrix it is cast into (4 B/elem); the Arrow buffer
+    is freed before Lloyd runs, so the iterations hold only the float32
+    matrix (nlist=4096, d=384 -> ~1.6 GiB held, ~4.8 GiB transfer peak;
+    nlist=39 at bench scale -> trivial). The guard below budgets the full
+    12 B/elem peak, not just the held matrix. The assignment step is
+    CHUNKED (``assign_block`` rows at a time, like FAISS), so its scratch
+    is O(assign_block * nlist), never the full s x k distance matrix
+    (which would be ~34 GiB at nlist=4096). When even the sample exceeds
+    ``max_train_bytes``, points-per-centroid shrinks to fit (floor 16);
+    past that — huge nlist, e.g. the 100-TB-implied nlist~sqrt(N)~5e5 —
+    the trainer falls back to distributed MLlib KMeans, which never
+    collects the sample at all.
 
     Euclidean k-means == spherical k-means on unit vectors (‖a-b‖² = 2-2a·b),
     so the centroids serve the inner-product metric directly. Recall is
@@ -72,9 +76,12 @@ def train_kmeans_centroids(
     n = emb.count()
     d = int(emb.select(F.size(vec_col)).first()[0])
     ppc = max_points_per_centroid
-    if 4 * d * ppc * nlist > max_train_bytes:
-        ppc = max(16, max_train_bytes // (4 * d * nlist))
-    if 4 * d * ppc * nlist > max_train_bytes:
+    # 12 B/elem = true transfer peak (8 B Arrow float64 + 4 B float32
+    # target), not just the 4 B/elem matrix Lloyd holds afterwards
+    bytes_per_elem = 12
+    if bytes_per_elem * d * ppc * nlist > max_train_bytes:
+        ppc = max(16, max_train_bytes // (bytes_per_elem * d * nlist))
+    if bytes_per_elem * d * ppc * nlist > max_train_bytes:
         return _mllib_centroids(emb, nlist, vec_col=vec_col, seed=seed, max_iter=max_iter)
     bound = max(nlist * ppc, nlist + 1)
     sample = emb.select(vec_col)
@@ -86,16 +93,22 @@ def train_kmeans_centroids(
         # across rebuilds — acceptable for a coarse quantizer, where only
         # the recall/nprobe trade-off matters, not stable ids.)
         sample = sample.sample(fraction=min(1.0, 1.2 * bound / n), seed=seed).limit(bound)
-    # Arrow path: one columnar transfer, then per-row float32 conversion
-    # before stacking — np.stack(...).astype(float32) would materialize a
-    # transient float64 matrix 2x the final size, breaking the 4 B/elem
-    # assumption behind the max_train_bytes guard above. Peak extra here is
-    # one float64 row, not the whole sample.
-    cells = sample.toPandas()[vec_col].to_numpy()
-    x = np.empty((len(cells), d), dtype=np.float32)
-    for i, v in enumerate(cells):
-        x[i] = np.asarray(v, dtype=np.float32)
-    del cells
+    # Arrow path: one columnar transfer held as the raw Arrow list buffer
+    # (8 B/elem float64 — no pandas object-cell materialization, which
+    # costs ~12 B/elem in per-row numpy headers alone), cast chunk-by-chunk
+    # into the preallocated float32 matrix and freed. Peak = Arrow buffer +
+    # float32 target = the 12 B/elem the guard above budgets.
+    tbl = sample.toArrow()
+    n_rows = tbl.num_rows
+    x = np.empty((n_rows, d), dtype=np.float32)
+    pos = 0
+    for chunk in tbl.column(vec_col).chunks:
+        flat = chunk.flatten()  # offset-adjusted float64 values array
+        m = np.asarray(flat).reshape(-1, d)
+        x[pos : pos + len(m)] = m  # float64 -> float32 cast into place
+        pos += len(m)
+    del tbl
+    assert pos == n_rows
     s = len(x)
     k = min(nlist, s)
     rng = np.random.default_rng(seed)

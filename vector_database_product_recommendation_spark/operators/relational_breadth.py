@@ -501,8 +501,17 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "late",
         (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).cast("int"),
     )
-    per_supp = lines.groupBy("l_orderkey", "l_suppkey").agg(
-        F.sum("late").alias("n_late_lines")
+    # per_supp feeds two consumers (per_order and the blamed join) keyed on
+    # l_orderkey: repartition it by that key ONCE so both consumers hang
+    # off the same exchange — ReuseExchange then computes the lineitem ⋈
+    # orders join and the (orderkey, suppkey) aggregate a single time, and
+    # neither the per-order rollup nor the join needs any further shuffle
+    # (hashpartitioning(l_orderkey) satisfies both). The naive form ran the
+    # whole join+aggregate subtree once per consumer with an exchange each.
+    per_supp = (
+        lines.groupBy("l_orderkey", "l_suppkey")
+        .agg(F.sum("late").alias("n_late_lines"))
+        .repartition(F.col("l_orderkey"))
     )
     per_order = per_supp.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("n_supp"),

@@ -286,23 +286,23 @@ def bm25_search(
     sum over query terms of idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))
     with the always-positive Lucene idf ln(1 + (n-df+0.5)/(df+0.5)).
 
-    Spark shape: tf/dl/df are hash aggregates with map-side combine; the
-    corpus-level scalars (n, avgdl) ride along as broadcast crossJoins, so
-    nothing collects to the driver. Query terms are tokenized driver-side
-    (the query is a scalar parameter, not data) and broadcast into the
-    scored join — the corpus shuffles only on (doc_id, term)/(term), never
-    on text. Per-term contributions round to 12 decimals before the sum so
-    engine FP noise stays below the final 6-decimal round (same policy as
-    TfidfModel).
+    Spark shape: the query-term filter lands BEFORE any aggregation — only
+    postings of the O(10) query terms are ever counted or shuffled for
+    tf/df (the full-vocabulary tf and df aggregates of the naive form are
+    dead weight: scoring needs them for query terms only, and the filtered
+    df equals the full df on those terms). Document length (dl/avgdl) is
+    inherently all-terms and stays a per-doc hash aggregate with map-side
+    combine. Corpus-level scalars (n, avgdl) ride along as broadcast
+    crossJoins, so nothing collects to the driver. Query terms are
+    tokenized driver-side (the query is a scalar parameter, not data) and
+    broadcast into the postings filter — the corpus shuffles only query-
+    term (doc_id, term) pairs and per-doc lengths, never text. Per-term
+    contributions round to 12 decimals before the sum so engine FP noise
+    stays below the final 6-decimal round (same policy as TfidfModel).
     """
     import re
 
     terms = _doc_terms(docs, id_col, text_col, stopwords)
-    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = terms.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n = docs.agg(F.count(F.lit(1)).alias("n"))
-    avgdl = dl.agg(F.avg("dl").alias("avgdl"))
 
     # re.ASCII pins Python's \w to [a-zA-Z0-9_] so query tokenization is
     # byte-identical to the corpus side's Java regexp_extract_all (Java \w
@@ -318,13 +318,22 @@ def bm25_search(
     spark = docs.sparkSession
     q = spark.createDataFrame([(t,) for t in q_terms], "term string")
 
+    tf = (
+        terms.join(F.broadcast(q), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = terms.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    avgdl = dl.agg(F.avg("dl").alias("avgdl"))
+
     idf = dfreq.crossJoin(F.broadcast(n)).select(
         "term",
         F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)).alias("idf"),
     )
     contrib = (
-        tf.join(F.broadcast(q), "term")
-        .join(F.broadcast(idf.join(F.broadcast(q), "term")), "term")
+        tf.join(F.broadcast(idf), "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(avgdl))
         .select(

@@ -354,15 +354,30 @@ FROM q ORDER BY doc_id
 
 @register("doc_text_profile", _PROFILE_ORACLE)
 def _doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one Arrow kernel pass (functions/textprof.py, value-identical twin of
+    # the functions.text expressions); rounding stays in the engine
+    from vector_database_product_recommendation_spark.functions.textprof import profile_docs_py
+
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
+    prof = profile_docs_py(
+        docs,
+        (
+            "n_tokens",
+            "n_tokens_re",
+            "mean_tok_len",
+            "stopword_ratio",
+            "punct_ratio",
+            "quality",
+        ),
+    )
+    return prof.select(
         "doc_id",
-        token_count_ws("text").alias("n_tokens"),
-        token_count_regex("text").alias("n_tokens_re"),
-        F.round(mean_token_len("text"), 6).alias("mean_tok_len"),
-        F.round(stopword_ratio("text"), 6).alias("stopword_ratio"),
-        F.round(punct_ratio("text"), 6).alias("punct_ratio"),
-        F.round(quality_score("text"), 6).alias("quality"),
+        "n_tokens",
+        "n_tokens_re",
+        F.round("mean_tok_len", 6).alias("mean_tok_len"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("quality", 6).alias("quality"),
     ).orderBy("doc_id")
 
 
@@ -1731,7 +1746,12 @@ ORDER BY id_a, id_b
 def _dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_database_product_recommendation_spark.operators.dedup import winnow_fingerprints_df
 
-    fp = winnow_fingerprints_df(load_table(spark, sf_dir, "documents"))
+    # persisted: feeds the hot-fp cap AND both sides of the self-join (the
+    # kernel would otherwise run three times); sort=False skips the
+    # presentation range-exchange — everything downstream reshuffles anyway
+    fp = winnow_fingerprints_df(
+        load_table(spark, sf_dir, "documents"), sort=False
+    ).persist()
     cold = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= 100
     ).select("fp")

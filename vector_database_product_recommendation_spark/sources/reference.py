@@ -56,6 +56,10 @@ def load_reviews(spark: SparkSession, csv_path: str) -> DataFrame:
     # persist BEFORE the counts action: multiLine CSV is expensive to parse
     # (unsplittable, quote-scanning) and without the persist both the counts
     # agg and every downstream consumer would re-parse the files from scratch.
+    # Lifetime contract: this cache IS the reviews cache — the frame this
+    # function returns derives from it with a map lookup + cast only, so
+    # callers must NOT re-cache the result (that pins a redundant copy);
+    # it lives for the session, like the reference's @st.cache_resource.
     df = df.withColumn("_local", F.row_number().over(w) - 1).persist()
     counts = {r["_file"]: r["cnt"] for r in df.groupBy("_file").agg(F.count(F.lit(1)).alias("cnt")).collect()}
     offsets, running = {}, 0
