@@ -8,21 +8,19 @@ no corpus filtering at all (its corpus is pre-cleaned, SURVEY.md S9) —
 this module is part of the training-data-pipeline extension layer and
 composes with corpus_prep_pipeline's lang/quality gate.
 
-Scale shape: token and bigram counts are hash aggregates keyed by
-(doc_id, gram) with map-side combine, re-aggregated per doc_id — two
-fine-grained shuffles that move (id, gram, count) triples, never text.
-Deliberately NOT the row-local expression form: counting gram
-multiplicities inside an array column is O(len * distinct) per row, which
-goes quadratic on long documents; grouped counts stay linear and spill
-cleanly at 100 TB.
+Scale shape: gram counting is doc-local, so the integer counts come from
+one Arrow kernel pass with hash-map (dict) counting — linear per
+document, zero shuffles, never moves text. (The array-EXPRESSION form of
+multiplicity counting would be O(len * distinct) per row — quadratic on
+long documents — which is why this is a kernel, not a transform/filter
+fold; the old explode -> (doc, gram) aggregate shape was linear too but
+paid four exchanges and two joins for per-row work.)
 """
 
 from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
-
-from vector_database_product_recommendation_spark.functions.text import tokens_ws
 
 
 def repetition_signals(
@@ -41,46 +39,61 @@ def repetition_signals(
                           than once / total bigram occurrences (0.0 when
                           the doc has fewer than 2 tokens)
 
+    Physical shape: gram counting is DOC-LOCAL (a token's multiplicity in
+    one document never depends on another row), so the integer counts
+    (top token count, distinct tokens, bigram dup occurrences) come from
+    one Arrow kernel pass with hash-map counting — linear per document,
+    zero shuffles. (The previous explode -> (doc, gram) hash aggregate ->
+    per-doc re-aggregate shape paid four exchanges plus two joins for
+    per-row work; the docstring's quadratic warning applies to counting
+    multiplicities with ARRAY EXPRESSIONS — O(len * distinct) per row —
+    not to a dict count.) Every float division and rounding stays in
+    engine expressions over the kernel's integers, so no Python float
+    semantics enter the oracle-checked output.
+
     Returns one row per input doc, sorted by doc_id.
     """
-    base = docs.select(
-        F.col(id_col).alias("doc_id"), tokens_ws(text_col).alias("toks")
-    ).select(
-        "doc_id",
-        "toks",
-        F.size("toks").alias("n_tokens"),
-        F.when(
-            F.size("toks") >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.size("toks") - 1),
-                lambda i: F.concat_ws(" ", F.element_at("toks", i), F.element_at("toks", i + 1)),
-            ),
-        )
-        .otherwise(F.array().cast("array<string>"))
-        .alias("bigrams"),
-    )
+    from collections import Counter
+    from typing import Iterator
 
-    tok_counts = base.select("doc_id", F.explode("toks").alias("g")).groupBy(
-        "doc_id", "g"
-    ).agg(F.count(F.lit(1)).alias("c"))
-    tok_stats = tok_counts.groupBy("doc_id").agg(
-        F.max("c").alias("top_c"),
-        F.count(F.lit(1)).alias("n_distinct"),
-        F.sum("c").alias("n_tok"),
-    )
+    import pandas as pd
 
-    bg_counts = base.select("doc_id", F.explode("bigrams").alias("g")).groupBy(
-        "doc_id", "g"
-    ).agg(F.count(F.lit(1)).alias("c"))
-    bg_stats = bg_counts.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).alias("dup_occ"),
-        F.sum("c").alias("n_bg"),
+    src = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t"))
+    dtype = src.schema["doc_id"].dataType.simpleString()
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for did, t in zip(pdf["doc_id"], pdf["__t"]):
+                toks = (t or "").lower().split()
+                n = len(toks)
+                tc = Counter(toks)
+                bc = Counter(
+                    " ".join(toks[i : i + 2]) for i in range(n - 1)
+                ) if n >= 2 else Counter()
+                n_bg = sum(bc.values())
+                dup_occ = sum(c for c in bc.values() if c > 1)
+                rows.append(
+                    (did, n, max(tc.values()) if tc else 0, len(tc), n, dup_occ, n_bg)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_tokens", "top_c", "n_distinct", "n_tok",
+                    "dup_occ", "n_bg",
+                ],
+            )
+
+    counts = src.mapInPandas(
+        kernel,
+        f"doc_id {dtype}, n_tokens int, top_c long, n_distinct long, "
+        "n_tok long, dup_occ long, n_bg long",
     )
 
     return (
-        base.select("doc_id", "n_tokens")
-        .join(tok_stats, "doc_id", "left")
-        .join(bg_stats, "doc_id", "left")
+        counts
         .select(
             "doc_id",
             "n_tokens",
