@@ -677,9 +677,12 @@ def connected_components(
     combine shrinks neighbor labels before the exchange) instead of a
     join-back. Text never moves. ``localCheckpoint`` after every round
     truncates the lineage so round N's plan does not replay rounds
-    1..N-1. Convergence is detected with a single scalar aggregate
-    (labels are monotone non-increasing, so an unchanged label sum means a
-    fixed point) instead of a per-row change join.
+    1..N-1. Convergence is detected with a label-sum metric (labels are
+    monotone non-increasing, so an unchanged label sum means a fixed
+    point) OBSERVED on the checkpoint materialization itself
+    (`Dataset.observe` piggybacks the aggregate on the job that is
+    already running) — no separate convergence job per round, and no
+    per-row change join.
 
     Parity: the reference app has no dedup at all (SURVEY.md section 2.8)
     — this is part of the training-data-pipeline extension layer; the
@@ -698,10 +701,18 @@ def connected_components(
         .repartition(F.col("v"))
         .persist()
     )
-    labels = vertices.select(
-        F.col(id_col).cast("long").alias("u"), F.col(id_col).cast("long").alias("label")
-    ).localCheckpoint(eager=True)
-    prev_sum = labels.agg(F.sum("label")).first()[0]
+    from pyspark.sql import Observation
+
+    obs0 = Observation()
+    labels = (
+        vertices.select(
+            F.col(id_col).cast("long").alias("u"),
+            F.col(id_col).cast("long").alias("label"),
+        )
+        .observe(obs0, F.sum("label").alias("s"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = obs0.get["s"]
     converged = False
     for _ in range(max_iter):
         # new label = min(own, every neighbor's): one union + one min
@@ -711,13 +722,15 @@ def connected_components(
         nbr = e.join(labels.select(F.col("u").alias("v"), "label"), "v").select(
             "u", "label"
         )
+        obs = Observation()
         new_labels = (
             labels.unionByName(nbr)
             .groupBy("u")
             .agg(F.min("label").alias("label"))
+            .observe(obs, F.sum("label").alias("s"))
             .localCheckpoint(eager=True)
         )
-        cur_sum = new_labels.agg(F.sum("label")).first()[0]
+        cur_sum = obs.get["s"]
         # the new checkpoint is materialized (eager=True), so the superseded
         # round's blocks can be released now — without this, every round's
         # checkpoint lives until the job ends (unbounded storage growth)
