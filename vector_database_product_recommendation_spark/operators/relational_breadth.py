@@ -545,10 +545,17 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered by a fraction-of-global-total scalar subquery — is the point.
 
     The scalar total is computed once from the SAME filtered join (Spark
-    reuses the exchange under AQE) and crossed in by broadcast of one row;
-    at 100 TB the plan is scan -> broadcast-join region suppliers ->
+    reuses the aggregate's exchange at runtime) and crossed in by
+    broadcast of one row; the region-supplier keyset BROADCASTS into the
+    lineitem semi-join (repo-wide dimension-table convention — without
+    the hint the planner picked a SortMergeJoin that exchanged+sorted the
+    whole fact table on l_suppkey, TWICE, once per consumer of the
+    aggregate; measured as the r21 driver's worst 32-core anti-scaler).
+    At 100 TB the plan is scan -> broadcast semi-join region suppliers ->
     hash aggregate on l_partkey -> one-row broadcast compare.  No
-    re-execution per group, no driver collect.
+    re-execution per group, no driver collect.  (If one region's supplier
+    keys ever outgrow a broadcast, guide section 3.2's Bloom pre-filter is
+    the fallback; the keyset is s_suppkey only.)
     """
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
@@ -561,7 +568,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     euro_lines = li.join(
-        euro_supp, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi"
+        F.broadcast(euro_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi"
     )
     per_part = euro_lines.groupBy("l_partkey").agg(F.sum(_rev()).alias("val"))
     total = per_part.agg((F.sum("val") * F.lit(0.001)).alias("threshold"))

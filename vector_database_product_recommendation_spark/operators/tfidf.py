@@ -89,7 +89,12 @@ class TfidfModel:
         self.dfreq = self.tf.groupBy("term").agg(
             F.count(F.lit(1)).alias("df")
         ).persist()
-        self.n = docs.agg(F.count(F.lit(1)).alias("n"))
+        # corpus row count is FITTED STATE (sklearn stores it as n_samples_);
+        # keep it as a plain int so consumers fold it into expressions as a
+        # literal. The old form — an unaggregated one-row DataFrame crossJoined
+        # per consumer — re-scanned the docs table on EVERY query transform
+        # (one extra job + broadcast per search call).
+        self.n = docs.count()
         self._weights_memo: dict[int, DataFrame] = {}
 
     def persisted(self) -> list[DataFrame]:
@@ -97,14 +102,15 @@ class TfidfModel:
         return [self.tf, self.dfreq, *self._weights_memo.values()]
 
     def _raw(self, tf: DataFrame, keys: list[str]) -> DataFrame:
+        # (1 + n) enters as an exact integer literal — value-identical to
+        # the previous one-row crossJoin, minus a job and a broadcast
         return (
             tf.join(self.dfreq, "term")
-            .crossJoin(F.broadcast(self.n))
             .select(
                 *keys,
                 (
                     F.col("tf").cast("double")
-                    * (F.log((1 + F.col("n")) / (1 + F.col("df"))) + F.lit(1.0))
+                    * (F.log(F.lit(1 + self.n) / (1 + F.col("df"))) + F.lit(1.0))
                 ).alias("w"),
             )
         )

@@ -83,10 +83,37 @@ def _latest_driver_round() -> dict[str, int]:
     return latest
 
 
+# Queries whose computation path was rewritten in the latest optimization
+# round: fronted just behind never-checked queries so the next driver
+# sample re-hash-checks them before anything merely old (r21 verdict item
+# 3 — four r21 rewrites missed that round's sample purely by rotation
+# age). Update per round; stale entries cost nothing once their round's
+# CORRECTNESS file lands (they fall back into the age order).
+_TOUCHED_LAST_ROUND = frozenset(
+    {
+        "pq_knn_refined",
+        "pq_knn_exactrefine",
+        "q11_important_parts",
+        "hybrid_search",
+        "tfidf_search",
+        "ann_tradeoff",
+    }
+)
+
+
 def queries() -> dict[str, QueryFn]:
     latest = _latest_driver_round()
     order = {n: i for i, n in enumerate(_QUERIES)}
-    names = sorted(_QUERIES, key=lambda n: (latest.get(n, -1), order[n]))
+
+    def key(n: str):
+        tier = (
+            0
+            if latest.get(n, -1) < 0
+            else (1 if n in _TOUCHED_LAST_ROUND else 2)
+        )
+        return (tier, latest.get(n, -1), order[n])
+
+    names = sorted(_QUERIES, key=key)
     return {n: _QUERIES[n] for n in names}
 
 
