@@ -59,3 +59,27 @@ def test_pq_knn_refine_broadcasts_candidates_not_corpus(spark, sf_dir):
     # the corpus scan must not feed an exchange: candidates broadcast onto it
     assert "BroadcastHashJoin" in plan
     assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_query_local_pins_released_between_invocations(spark, sf_dir):
+    """Lifetime contract (r21 verdict item 5): repeated invocations of a
+    pinning query through the registry wrapper must not grow the cached-RDD
+    population — each invocation releases the previous one's pins."""
+    from vector_database_product_recommendation_spark import lifetime, registry
+
+    qmap = registry.queries()
+    fn = qmap["dedup_winnowing"]
+
+    def n_cached() -> int:
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    fn(spark, sf_dir).count()
+    pins_after_one = lifetime.pinned_count()
+    cached_after_one = n_cached()
+    assert pins_after_one >= 1  # the query does pin
+    for _ in range(3):
+        fn(spark, sf_dir).count()
+    assert lifetime.pinned_count() == pins_after_one
+    assert n_cached() <= cached_after_one
+    lifetime.release_pins()
+    assert lifetime.pinned_count() == 0

@@ -39,8 +39,19 @@ def fitted_tfidf(
     k = _key(spark, sf_dir, "tfidf", max_features)
     if k not in _CACHE:
         docs = load_table(spark, sf_dir, "documents")
+        # a capped-vocabulary fit only prunes the vocabulary of the
+        # uncapped fit over the same corpus: reuse its (persisted) tf
+        # table instead of re-tokenizing the corpus (values identical)
+        base_tf = None
+        if max_features is not None:
+            base_tf = fitted_tfidf(spark, sf_dir).tf
         _CACHE[k] = TfidfModel(
-            docs, "doc_id", "text", STOPWORDS_EN, max_features=max_features
+            docs,
+            "doc_id",
+            "text",
+            STOPWORDS_EN,
+            max_features=max_features,
+            base_tf=base_tf,
         )
     return _CACHE[k]
 
@@ -68,7 +79,7 @@ def ivf_index(
         n = emb.count()
         eff_nlist = nlist or max(2, int(n**0.5))
         cents = train_kmeans_centroids(
-            emb, eff_nlist, seed=seed, max_iter=max_iter
+            emb, eff_nlist, seed=seed, max_iter=max_iter, n_rows=n
         )
         # right-size the cached partitions (~25k vectors each): a tiny
         # corpus spread over defaultParallelism partitions pays

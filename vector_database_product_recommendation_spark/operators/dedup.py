@@ -36,6 +36,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
+from vector_database_product_recommendation_spark.lifetime import pin
 from vector_database_product_recommendation_spark.functions.text import (
     hash60,
     tokens_ws,
@@ -151,9 +152,9 @@ def ngram_jaccard_pairs(
     ``sort=False`` skips the presentation orderBy (a full range-exchange)
     for composite consumers (dedup_components) that immediately reshuffle.
     """
-    sh = _doc_shingles_py(docs, id_col, text_col, n).select(
+    sh = pin(_doc_shingles_py(docs, id_col, text_col, n).select(
         "doc_id", F.explode("shingles").alias("shingle")
-    ).persist()  # feeds df-count and (via the cap join) sizes + self-join
+    ))  # query-local pin: feeds df-count and (via the cap join) sizes + self-join
     cold = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -297,7 +298,7 @@ def minhash_lsh_pairs(
     # both verify joins (2 more) — without it Spark re-runs the whole
     # shingle+minhash pipeline per scan. At warehouse scale this is the
     # "write signatures once" step of any LSH pipeline.
-    with_mh = _with_minhash(docs, id_col, text_col, n, num_hashes).persist()
+    with_mh = pin(_with_minhash(docs, id_col, text_col, n, num_hashes))
     band_sigs = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda j: F.md5(
@@ -415,8 +416,8 @@ def simhash_pairs(
     approximation, stated in the docs)."""
     chunk_bits = _SIMHASH_BITS // n_chunks
     mask = (1 << chunk_bits) - 1
-    # persisted: both sides of the block self-join read it
-    sig = simhash_signatures(docs, id_col=id_col, text_col=text_col).persist()
+    # query-local pin: both sides of the block self-join read it
+    sig = pin(simhash_signatures(docs, id_col=id_col, text_col=text_col))
     chunks = F.array(
         *[
             F.shiftright(F.col("simhash"), chunk_bits * c).bitwiseAND(F.lit(mask))
@@ -567,9 +568,9 @@ def embedding_near_dup_lsh(
     # persisted: the band self-join reads it twice (the broadcast build
     # side has no exchange to reuse, so without the cache the signature
     # kernel — a full Arrow pass over the corpus — runs once per side)
-    banded = emb.select(id_col, vec_col).mapInPandas(
+    banded = pin(emb.select(id_col, vec_col).mapInPandas(
         sign_bands, f"vid {id_dtype}, band_idx int, band_key long"
-    ).persist()
+    ))
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -703,6 +704,24 @@ def connected_components(
     )
     from pyspark.sql import Observation
 
+    def _observed_sum(obs: Observation, df: DataFrame, timeout: float = 120.0):
+        """Label-sum metric observed on the (already materialized, eager)
+        checkpoint job. Observation fulfillment rides Spark's SQL-listener
+        path — validated on PySpark 4.1.2 — but Observation.get blocks with
+        no timeout, so a listener regression must degrade to one extra
+        aggregate job per round (the pre-observe behavior), never a hang.
+        The daemon reader thread leaks harmlessly in that (never observed)
+        case."""
+        import threading
+
+        box: list = []
+        t = threading.Thread(target=lambda: box.append(obs.get["s"]), daemon=True)
+        t.start()
+        t.join(timeout)
+        if box:
+            return box[0]
+        return df.agg(F.sum("label")).first()[0]
+
     obs0 = Observation()
     labels = (
         vertices.select(
@@ -712,7 +731,7 @@ def connected_components(
         .observe(obs0, F.sum("label").alias("s"))
         .localCheckpoint(eager=True)
     )
-    prev_sum = obs0.get["s"]
+    prev_sum = _observed_sum(obs0, labels)
     converged = False
     for _ in range(max_iter):
         # new label = min(own, every neighbor's): one union + one min
@@ -730,7 +749,7 @@ def connected_components(
             .observe(obs, F.sum("label").alias("s"))
             .localCheckpoint(eager=True)
         )
-        cur_sum = obs.get["s"]
+        cur_sum = _observed_sum(obs, new_labels)
         # the new checkpoint is materialized (eager=True), so the superseded
         # round's blocks can be released now — without this, every round's
         # checkpoint lives until the job ends (unbounded storage growth)

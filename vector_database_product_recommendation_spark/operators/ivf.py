@@ -39,6 +39,7 @@ def train_kmeans_centroids(
     max_points_per_centroid: int = 256,
     max_train_bytes: int = 2 << 30,
     assign_block: int = 65_536,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """AN2: (cluster_id, centroid array<double>) — seeded Lloyd on a
     BOUNDED sample, FAISS-style.
@@ -73,8 +74,16 @@ def train_kmeans_centroids(
     metamorphic test; clustering quality only shifts the recall/nprobe
     trade-off, which tests/test_ivf.py bounds.
     """
-    n = emb.count()
-    d = int(emb.select(F.size(vec_col)).first()[0])
+    # one job answers both scalars (callers that already counted pass
+    # ``n_rows`` and only dim is fetched — the old form ran two jobs here
+    # plus a third in the caller)
+    if n_rows is None:
+        n, d = emb.agg(
+            F.count(F.lit(1)), F.first(F.size(vec_col), ignorenulls=True)
+        ).first()
+    else:
+        n, d = n_rows, emb.select(F.size(vec_col)).first()[0]
+    n, d = int(n), int(d)
     ppc = max_points_per_centroid
     # 12 B/elem = true transfer peak (8 B Arrow float64 + 4 B float32
     # target), not just the 4 B/elem matrix Lloyd holds afterwards
@@ -108,7 +117,14 @@ def train_kmeans_centroids(
         x[pos : pos + len(m)] = m  # float64 -> float32 cast into place
         pos += len(m)
     del tbl
-    assert pos == n_rows
+    if pos != n_rows:
+        # explicit raise (not assert: stripped under python -O) — a miscount
+        # here means pyarrow flatten() dropped null list slots and x[pos:]
+        # would be uninitialized np.empty garbage fed into Lloyd
+        raise ValueError(
+            f"k-means sample transfer lost rows: filled {pos} of {n_rows} "
+            f"(null embedding slots in the sample?)"
+        )
     s = len(x)
     k = min(nlist, s)
     rng = np.random.default_rng(seed)
@@ -383,7 +399,7 @@ def knn(
     if n is None:
         n = corpus.count()
     nlist = nlist or max(1, int(n ** 0.5))
-    cents = train_kmeans_centroids(corpus, nlist, vec_col=kw.get("corpus_vec", "embedding"), seed=seed)
+    cents = train_kmeans_centroids(corpus, nlist, vec_col=kw.get("corpus_vec", "embedding"), seed=seed, n_rows=n)
     assigned = assign_clusters(corpus, cents, vec_col=kw.get("corpus_vec", "embedding"))
     return ivf_knn(assigned, cents, queries, k, nprobe, **kw)
 

@@ -28,10 +28,15 @@ df — omitted here because the synthetic vocab is far below 20000.
 
 from __future__ import annotations
 
+import re
+from typing import Iterator
+
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from vector_database_product_recommendation_spark.functions.text import STOPWORDS_EN
+from vector_database_product_recommendation_spark.lifetime import pin
 
 # sklearn's (?u)\b\w\w+\b — runs of >=2 word chars (ASCII corpus).
 TOKEN_PATTERN = r"\w\w+"
@@ -44,6 +49,47 @@ def _doc_terms(docs: DataFrame, id_col: str, text_col: str, stopwords) -> DataFr
     return docs.select(
         F.col(id_col).alias("doc_id"), F.explode(toks).alias("term")
     ).filter(~F.array_contains(sw, F.col("term")))
+
+
+def _doc_term_counts(
+    docs: DataFrame, id_col: str, text_col: str, stopwords
+) -> DataFrame:
+    """(doc_id, term, tf) — term frequency per document, one Arrow kernel.
+
+    Value-identical twin of ``_doc_terms(...).groupBy("doc_id","term")
+    .count()``: term frequency is DOC-LOCAL, so counting inside the kernel
+    removes the explode of every token occurrence AND the (doc_id, term)
+    hash exchange — the previous form shuffled one row per token of the
+    corpus to count what never leaves a document. Tokenization parity with
+    the Column form is the bm25_search precedent: Python ``re`` with
+    ``re.ASCII`` pins ``\\w`` to [a-zA-Z0-9_], byte-identical to Java's
+    default ``\\w`` in regexp_extract_all, and ASCII lower() agrees with
+    Java toLowerCase (oracle-verified across sf0.001/0.01/0.1).
+    """
+    pat = re.compile(TOKEN_PATTERN, flags=re.ASCII)
+    stop = frozenset(stopwords)
+    src = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t"))
+    dtype = src.schema["doc_id"].dataType.simpleString()
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from collections import Counter
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids: list = []
+            terms: list[str] = []
+            tfs: list[int] = []
+            for did, t in zip(pdf["doc_id"], pdf["__t"]):
+                counts = Counter(
+                    w for w in pat.findall((t or "").lower()) if w not in stop
+                )
+                ids.extend([did] * len(counts))
+                terms.extend(counts.keys())
+                tfs.extend(counts.values())
+            yield pd.DataFrame({"doc_id": ids, "term": terms, "tf": tfs})
+
+    return src.mapInPandas(kernel, f"doc_id {dtype}, term string, tf long")
 
 
 class TfidfModel:
@@ -59,13 +105,27 @@ class TfidfModel:
         text_col: str,
         stopwords,
         max_features: int | None = None,
+        base_tf: DataFrame | None = None,
     ):
         self.docs = docs
         self.id_col = id_col
         self.text_col = text_col
         self.stopwords = stopwords
-        terms = _doc_terms(docs, id_col, text_col, stopwords)
-        tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+        # corpus row count is FITTED STATE (sklearn stores it as n_samples_);
+        # kept as a plain int so consumers fold it into expressions as a
+        # literal (the old one-row crossJoin form re-scanned docs on every
+        # query transform).
+        self.n = docs.count()
+        # ``base_tf``: an already-fitted (doc_id, term, tf) table from a
+        # sibling model over the SAME (docs, stopwords) — a capped-vocabulary
+        # refit only prunes the vocabulary, so re-tokenizing the corpus for
+        # it is pure waste (artifacts.fitted_tfidf passes the uncapped
+        # model's tf). Values are identical by construction.
+        tf = (
+            base_tf
+            if base_tf is not None
+            else _doc_term_counts(docs, id_col, text_col, stopwords)
+        )
         if max_features is not None:
             # sklearn max_features semantics: keep the top-k vocabulary by
             # total corpus term count (ties broken alphabetically — made
@@ -89,17 +149,14 @@ class TfidfModel:
         self.dfreq = self.tf.groupBy("term").agg(
             F.count(F.lit(1)).alias("df")
         ).persist()
-        # corpus row count is FITTED STATE (sklearn stores it as n_samples_);
-        # keep it as a plain int so consumers fold it into expressions as a
-        # literal. The old form — an unaggregated one-row DataFrame crossJoined
-        # per consumer — re-scanned the docs table on EVERY query transform
-        # (one extra job + broadcast per search call).
-        self.n = docs.count()
-        self._weights_memo: dict[int, DataFrame] = {}
+        self._normalized_df: DataFrame | None = None
 
     def persisted(self) -> list[DataFrame]:
         """Every persisted DataFrame this model owns (for teardown)."""
-        return [self.tf, self.dfreq, *self._weights_memo.values()]
+        out = [self.tf, self.dfreq]
+        if self._normalized_df is not None:
+            out.append(self._normalized_df)
+        return out
 
     def _raw(self, tf: DataFrame, keys: list[str]) -> DataFrame:
         # (1 + n) enters as an exact integer literal — value-identical to
@@ -115,38 +172,57 @@ class TfidfModel:
             )
         )
 
-    def weights(self, round_decimals: int = 6) -> DataFrame:
-        """l2-normalized smooth-idf TF-IDF, long sparse form
-        (doc_id, term, weight). Persisted per rounding level so repeated
-        consumers (search, hybrid, the weights query itself) pay the
-        normalize shuffle once — the reference's tfidf_matrix.joblib."""
-        if round_decimals not in self._weights_memo:
+    def _normalized(self) -> DataFrame:
+        """The UNROUNDED l2-normalized weight table (doc_id, term, wn),
+        persisted once — every rounding level is a projection over it, so
+        the normalize join+aggregate runs once per model instead of once
+        per rounding level (and pins one cached copy, not one per level)."""
+        if self._normalized_df is None:
             raw = self._raw(self.tf, ["doc_id", "term"])
             norms = raw.groupBy("doc_id").agg(
                 F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
             )
-            self._weights_memo[round_decimals] = (
+            self._normalized_df = (
                 raw.join(norms, "doc_id")
-                .select(
-                    "doc_id",
-                    "term",
-                    F.round(F.col("w") / F.col("nrm"), round_decimals).alias("weight"),
-                )
+                .select("doc_id", "term", (F.col("w") / F.col("nrm")).alias("wn"))
                 .persist()
             )
-        return self._weights_memo[round_decimals].orderBy("doc_id", "term")
+        return self._normalized_df
+
+    def weights(self, round_decimals: int = 6) -> DataFrame:
+        """l2-normalized smooth-idf TF-IDF, long sparse form
+        (doc_id, term, weight), rounded per consumer contract — a cheap
+        projection over the persisted normalized table (the reference's
+        tfidf_matrix.joblib). round(w/nrm) is computed from the identical
+        w/nrm double as before; only the persist boundary moved."""
+        return self._normalized().select(
+            "doc_id",
+            "term",
+            F.round(F.col("wn"), round_decimals).alias("weight"),
+        ).orderBy("doc_id", "term")
 
     def transform_query(self, query_text: str) -> DataFrame:
         """One query string -> (term, qw) under the corpus-fitted idf.
         Unseen terms drop out (outside the fitted vocabulary, as in
-        sklearn transform). Tiny result, meant to be broadcast."""
+        sklearn transform). Tiny result, meant to be broadcast.
+
+        The query is a scalar parameter, not data, so its term counts are
+        tokenized DRIVER-SIDE (re.ASCII — the bm25_search precedent,
+        byte-identical to the Column form) into a literal local relation:
+        no corpus-side job runs just to split one string. Counts are exact
+        integers; every float enters downstream through the same engine
+        expressions as before."""
+        from collections import Counter
+
         spark = self.docs.sparkSession
-        q = spark.createDataFrame(
-            [(0, query_text)], f"{self.id_col} long, {self.text_col} string"
+        pat = re.compile(TOKEN_PATTERN, flags=re.ASCII)
+        stop = frozenset(self.stopwords)
+        counts = Counter(
+            w for w in pat.findall((query_text or "").lower()) if w not in stop
         )
-        q_tf = _doc_terms(q, self.id_col, self.text_col, self.stopwords).groupBy(
-            "term"
-        ).agg(F.count(F.lit(1)).alias("tf"))
+        q_tf = spark.createDataFrame(
+            sorted(counts.items()) or [(None, None)], "term string, tf long"
+        ).filter(F.col("term").isNotNull())
         raw = self._raw(q_tf, ["term"])
         nrm = raw.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
         return raw.crossJoin(F.broadcast(nrm)).select(
@@ -239,10 +315,10 @@ def hybrid_search(
         .agg(F.sum(F.col("weight") * F.col("qw")).alias("ts"))
     )
     all_docs = docs.select(F.col(id_col).alias("doc_id"))
-    # persisted: feeds the min/max bounds agg AND the rescale projection
-    sparse = all_docs.join(sparse, "doc_id", "left").select(
+    # query-local pin: feeds the min/max bounds agg AND the rescale projection
+    sparse = pin(all_docs.join(sparse, "doc_id", "left").select(
         "doc_id", F.coalesce("ts", F.lit(0.0)).alias("ts")
-    ).persist()
+    ))
     # min-max over the candidate set (F3; guarded like app.py:207-208)
     bounds = sparse.agg(F.min("ts").alias("mn"), F.max("ts").alias("mx"))
     scaled = sparse.crossJoin(F.broadcast(bounds)).select(

@@ -39,6 +39,12 @@ def register(name: str, oracle: str | None = None):
             # naive — so deterministic comparison requires UTC. Both confs
             # are runtime-settable, so pinning here is safe and idempotent.
             spark.conf.set("spark.sql.session.timeZone", "UTC")
+            # release the PREVIOUS query's query-local persists (lifetime
+            # contract: at most one query's pins are ever cached; pins
+            # must outlive this call because the result is lazy)
+            from vector_database_product_recommendation_spark.lifetime import release_pins
+
+            release_pins()
             return fn(spark, sf_dir)
 
         wrapped.__name__ = getattr(fn, "__name__", name)
@@ -1773,12 +1779,14 @@ ORDER BY id_a, id_b
 def _dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_database_product_recommendation_spark.operators.dedup import winnow_fingerprints_df
 
-    # persisted: feeds the hot-fp cap AND both sides of the self-join (the
-    # kernel would otherwise run three times); sort=False skips the
+    # query-local pin: feeds the hot-fp cap AND both sides of the self-join
+    # (the kernel would otherwise run three times); sort=False skips the
     # presentation range-exchange — everything downstream reshuffles anyway
-    fp = winnow_fingerprints_df(
+    from vector_database_product_recommendation_spark.lifetime import pin
+
+    fp = pin(winnow_fingerprints_df(
         load_table(spark, sf_dir, "documents"), sort=False
-    ).persist()
+    ))
     cold = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= 100
     ).select("fp")
