@@ -43,7 +43,11 @@ TOKEN_PATTERN = r"\w\w+"
 
 
 def _doc_terms(docs: DataFrame, id_col: str, text_col: str, stopwords) -> DataFrame:
-    """(doc_id, term) one row per token occurrence, stop words removed."""
+    """(doc_id, term) one row per token occurrence, stop words removed.
+
+    Pure-Column form, kept as the ANSI-SQL-expressible reference (it is
+    the shape the DuckDB oracles mirror); the hot paths use the
+    value-identical `_doc_term_counts` kernel below."""
     sw = F.array(*[F.lit(s) for s in stopwords])
     toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_PATTERN), F.lit(0))
     return docs.select(
@@ -368,44 +372,68 @@ def bm25_search(
     sum over query terms of idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))
     with the always-positive Lucene idf ln(1 + (n-df+0.5)/(df+0.5)).
 
-    Spark shape: the query-term filter lands BEFORE any aggregation — only
-    postings of the O(10) query terms are ever counted or shuffled for
-    tf/df (the full-vocabulary tf and df aggregates of the naive form are
-    dead weight: scoring needs them for query terms only, and the filtered
-    df equals the full df on those terms). Document length (dl/avgdl) is
-    inherently all-terms and stays a per-doc hash aggregate with map-side
-    combine. Corpus-level scalars (n, avgdl) ride along as broadcast
-    crossJoins, so nothing collects to the driver. Query terms are
-    tokenized driver-side (the query is a scalar parameter, not data) and
-    broadcast into the postings filter — the corpus shuffles only query-
-    term (doc_id, term) pairs and per-doc lengths, never text. Per-term
-    contributions round to 12 decimals before the sum so engine FP noise
-    stays below the final 6-decimal round (same policy as TfidfModel).
+    Spark shape: BOTH corpus statistics BM25 needs — query-term tf and
+    per-doc length dl — are DOC-LOCAL, so ONE Arrow kernel pass over the
+    corpus emits them together (dl rows carry term=NULL): no token
+    occurrence is ever exploded or exchanged (the previous form exploded
+    every corpus token twice, once per statistic, and hash-exchanged the
+    query-term postings to count them). Query terms are tokenized
+    driver-side (re.ASCII — byte-identical to Java \\w, so a non-ASCII
+    query like "café" yields the same "caf" token both sides) and ship in
+    the kernel closure. df over the kernel's tf rows equals full-corpus df
+    on those terms; dl/avgdl stay all-terms by definition. Corpus-level
+    scalars (n, avgdl) ride along as broadcast crossJoins, so nothing
+    collects to the driver. Per-term contributions round to 12 decimals
+    before the sum so engine FP noise stays below the final 6-decimal
+    round (same policy as TfidfModel).
     """
-    import re
-
-    terms = _doc_terms(docs, id_col, text_col, stopwords)
-
-    # re.ASCII pins Python's \w to [a-zA-Z0-9_] so query tokenization is
-    # byte-identical to the corpus side's Java regexp_extract_all (Java \w
-    # is ASCII by default): a non-ASCII query like "café" yields the same
-    # "caf" token both sides instead of silently matching nothing.
-    q_terms = sorted(
-        {
-            t
-            for t in re.findall(TOKEN_PATTERN, query_text.lower(), flags=re.ASCII)
-            if t not in set(stopwords)
-        }
+    pat = re.compile(TOKEN_PATTERN, flags=re.ASCII)
+    stop = frozenset(stopwords)
+    qset = frozenset(
+        t for t in pat.findall((query_text or "").lower()) if t not in stop
     )
-    spark = docs.sparkSession
-    q = spark.createDataFrame([(t,) for t in q_terms], "term string")
 
-    tf = (
-        terms.join(F.broadcast(q), "term")
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    src = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t"))
+    dtype = src.schema["doc_id"].dataType.simpleString()
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from collections import Counter
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids: list = []
+            terms_out: list = []
+            tfs: list = []
+            dls: list = []
+            for did, t in zip(pdf["doc_id"], pdf["__t"]):
+                toks = [
+                    w for w in pat.findall((t or "").lower()) if w not in stop
+                ]
+                if not toks:
+                    # zero post-stopword tokens: absent from dl (and tf),
+                    # exactly like the old explode->aggregate form
+                    continue
+                ids.append(did)
+                terms_out.append(None)
+                tfs.append(None)
+                dls.append(len(toks))
+                counts = Counter(w for w in toks if w in qset)
+                ids.extend([did] * len(counts))
+                terms_out.extend(counts.keys())
+                tfs.extend(counts.values())
+                dls.extend([None] * len(counts))
+            yield pd.DataFrame(
+                {"doc_id": ids, "term": terms_out, "tf": tfs, "dl": dls}
+            )
+
+    # query-local pin: the stats table feeds dl (avgdl + contribution join)
+    # and tf (df count + contribution) — four consumers of one kernel pass
+    stats = pin(
+        src.mapInPandas(kernel, f"doc_id {dtype}, term string, tf long, dl long")
     )
-    dl = terms.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dl = stats.filter(F.col("term").isNull()).select("doc_id", "dl")
+    tf = stats.filter(F.col("term").isNotNull()).select("doc_id", "term", "tf")
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n"))
     avgdl = dl.agg(F.avg("dl").alias("avgdl"))

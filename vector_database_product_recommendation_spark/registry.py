@@ -39,12 +39,13 @@ def register(name: str, oracle: str | None = None):
             # naive — so deterministic comparison requires UTC. Both confs
             # are runtime-settable, so pinning here is safe and idempotent.
             spark.conf.set("spark.sql.session.timeZone", "UTC")
-            # release the PREVIOUS query's query-local persists (lifetime
-            # contract: at most one query's pins are ever cached; pins
-            # must outlive this call because the result is lazy)
-            from vector_database_product_recommendation_spark.lifetime import release_pins
+            # lifetime contract: entering a DIFFERENT query releases the
+            # previous query's query-local pins (at most one query's pins
+            # are ever cached; pins must outlive their own call because
+            # the result is lazy, and same-query re-runs keep them warm)
+            from vector_database_product_recommendation_spark.lifetime import begin_query
 
-            release_pins()
+            begin_query(name)
             return fn(spark, sf_dir)
 
         wrapped.__name__ = getattr(fn, "__name__", name)
@@ -102,6 +103,9 @@ _TOUCHED_LAST_ROUND = frozenset(
         "q11_important_parts",
         "hybrid_search",
         "tfidf_search",
+        "bm25_search",
+        "tfidf_weights",
+        "tfidf_weights_capped",
         "ann_tradeoff",
     }
 )
