@@ -100,6 +100,8 @@ def clear() -> None:
                 for d in v:
                     if isinstance(d, DataFrame):
                         d.unpersist()
+            elif isinstance(v, DataFrame):
+                v.unpersist()
             else:
                 m = v
                 for d in getattr(m, "persisted", lambda: [])():
@@ -107,6 +109,99 @@ def clear() -> None:
         except Exception:
             pass
     _CACHE.clear()
+
+
+def _persisted_df(spark: SparkSession, sf_dir: str, tag: str, build, *params) -> DataFrame:
+    """Memoize one persisted, materialized DataFrame per (session, corpus,
+    tag, params) — the shared shape of every signature-table artifact."""
+    k = _key(spark, sf_dir, tag, *params)
+    if k not in _CACHE:
+        df = build().persist()
+        df.count()
+        _CACHE[k] = df
+    return _CACHE[k]
+
+
+def shingle_index(spark: SparkSession, sf_dir: str, *, n: int = 3) -> DataFrame:
+    """Exploded (doc_id, shingle) inverted-index rows over ``documents`` —
+    the write-the-index-once step of the n-gram Jaccard pipeline
+    (dedup.py module docstring). Serving queries (dedup_ngram_jaccard,
+    dedup_components) probe it; the build is an offline job at warehouse
+    scale, reported in artifact_build_sec here."""
+    from vector_database_product_recommendation_spark.operators.dedup import _doc_shingles_py
+    from vector_database_product_recommendation_spark.sources.tables import load_table
+
+    def build() -> DataFrame:
+        import pyspark.sql.functions as F
+
+        docs = load_table(spark, sf_dir, "documents")
+        return _doc_shingles_py(docs, "doc_id", "text", n).select(
+            "doc_id", F.explode("shingles").alias("shingle")
+        )
+
+    return _persisted_df(spark, sf_dir, "shingle_index", build, n)
+
+
+def minhash_signature_table(
+    spark: SparkSession, sf_dir: str, *, n: int = 3, num_hashes: int = 32
+) -> DataFrame:
+    """(doc_id, shingles, mh) MinHash signatures over ``documents`` — the
+    write-signatures-once step of the MinHash-LSH pipeline."""
+    from vector_database_product_recommendation_spark.operators.dedup import _with_minhash
+    from vector_database_product_recommendation_spark.sources.tables import load_table
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        return _with_minhash(docs, "doc_id", "text", n, num_hashes)
+
+    return _persisted_df(spark, sf_dir, "minhash_sig", build, n, num_hashes)
+
+
+def simhash_signature_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash) SimHash signatures over ``documents``."""
+    from vector_database_product_recommendation_spark.operators.dedup import simhash_signatures
+    from vector_database_product_recommendation_spark.sources.tables import load_table
+
+    def build() -> DataFrame:
+        return simhash_signatures(load_table(spark, sf_dir, "documents"))
+
+    return _persisted_df(spark, sf_dir, "simhash_sig", build)
+
+
+def winnow_fingerprint_table(
+    spark: SparkSession, sf_dir: str, *, k: int = 4, w: int = 5
+) -> DataFrame:
+    """(doc_id, fp) winnowing fingerprints over ``documents`` (unsorted;
+    consumers add their own presentation order)."""
+    from vector_database_product_recommendation_spark.operators.dedup import winnow_fingerprints_df
+    from vector_database_product_recommendation_spark.sources.tables import load_table
+
+    def build() -> DataFrame:
+        return winnow_fingerprints_df(
+            load_table(spark, sf_dir, "documents"), k=k, w=w, sort=False
+        )
+
+    return _persisted_df(spark, sf_dir, "winnow_fp", build, k, w)
+
+
+def embedding_band_table(
+    spark: SparkSession, sf_dir: str, *, n_planes: int = 16, n_bands: int = 4
+) -> DataFrame:
+    """(vid, band_idx, band_key) hyperplane band signatures over
+    ``embeddings`` — the embedding-LSH blocking index."""
+    from vector_database_product_recommendation_spark.operators.dedup import (
+        embedding_band_signatures,
+    )
+    from vector_database_product_recommendation_spark.sources.tables import load_table
+
+    def build() -> DataFrame:
+        return embedding_band_signatures(
+            load_table(spark, sf_dir, "embeddings"),
+            n_planes=n_planes,
+            n_bands=n_bands,
+        )
+
+    return _persisted_df(spark, sf_dir, "emb_bands", build, n_planes, n_bands)
 
 
 def ivf_store(

@@ -131,9 +131,15 @@ def ngram_jaccard_pairs(
     threshold: float = 0.2,
     max_df: int = 100,
     sort: bool = True,
+    shingle_index: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by word-n-gram Jaccard, found with an
     inverted-index self-join (never an N^2 cross join).
+
+    ``shingle_index``: a prebuilt, persisted (doc_id, shingle) exploded
+    index over the same (docs, n) — the offline write-the-index-once
+    step (artifacts.shingle_index); when absent the index is built here
+    and pinned for this query's lifetime.
 
     Jaccard is computed over the capped shingle space (df <= max_df, see
     module docstring). Returns (id_a, id_b, jaccard), id_a < id_b.
@@ -152,9 +158,11 @@ def ngram_jaccard_pairs(
     ``sort=False`` skips the presentation orderBy (a full range-exchange)
     for composite consumers (dedup_components) that immediately reshuffle.
     """
-    sh = pin(_doc_shingles_py(docs, id_col, text_col, n).select(
-        "doc_id", F.explode("shingles").alias("shingle")
-    ))  # query-local pin: feeds df-count and (via the cap join) sizes + self-join
+    sh = shingle_index
+    if sh is None:
+        sh = pin(_doc_shingles_py(docs, id_col, text_col, n).select(
+            "doc_id", F.explode("shingles").alias("shingle")
+        ))  # query-local pin: feeds df-count and (via the cap join) sizes + self-join
     cold = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -283,9 +291,15 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.2,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs: band-bucket candidate join, then exact
     Jaccard verification on the candidates only.
+
+    ``signatures``: a prebuilt, persisted (doc_id, shingles, mh) table
+    over the same (docs, n, num_hashes) — the write-signatures-once step
+    (artifacts.minhash_signature_table); built and pinned here when
+    absent.
 
     bands * rows == num_hashes; a pair becomes a candidate iff some band of
     `rows` consecutive minhashes matches exactly. Returns
@@ -298,7 +312,9 @@ def minhash_lsh_pairs(
     # both verify joins (2 more) — without it Spark re-runs the whole
     # shingle+minhash pipeline per scan. At warehouse scale this is the
     # "write signatures once" step of any LSH pipeline.
-    with_mh = pin(_with_minhash(docs, id_col, text_col, n, num_hashes))
+    with_mh = signatures
+    if with_mh is None:
+        with_mh = pin(_with_minhash(docs, id_col, text_col, n, num_hashes))
     band_sigs = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda j: F.md5(
@@ -408,6 +424,7 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 8,
     n_chunks: int = 4,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, blocked on 15-bit
     signature chunks (a pair within Hamming d of a 60-bit signature must
@@ -416,8 +433,11 @@ def simhash_pairs(
     approximation, stated in the docs)."""
     chunk_bits = _SIMHASH_BITS // n_chunks
     mask = (1 << chunk_bits) - 1
-    # query-local pin: both sides of the block self-join read it
-    sig = pin(simhash_signatures(docs, id_col=id_col, text_col=text_col))
+    # prebuilt (artifacts.simhash_signature_table) or pinned here: both
+    # sides of the block self-join read it
+    sig = signatures
+    if sig is None:
+        sig = pin(simhash_signatures(docs, id_col=id_col, text_col=text_col))
     chunks = F.array(
         *[
             F.shiftright(F.col("simhash"), chunk_bits * c).bitwiseAND(F.lit(mask))
@@ -516,30 +536,19 @@ def _rademacher_planes(n_planes: int, dim: int) -> np.ndarray:
     return out
 
 
-def embedding_near_dup_lsh(
+def embedding_band_signatures(
     emb: DataFrame,
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    threshold: float = 0.95,
     n_planes: int = 16,
     n_bands: int = 4,
-    round_decimals: int = 6,
 ) -> DataFrame:
-    """The 100-TB path for embedding near-dup: random-hyperplane (SimHash
-    for vectors) blocking + exact verification of candidates only.
-
-    Each vector gets an n_planes-bit sign signature (one BLAS matvec
-    against the fixed Rademacher plane matrix, row-local); bands of
-    n_planes/n_bands bits become join keys; candidate pairs sharing any
-    band are verified with the exact dot >= threshold.
-
-    Precision is exact (every emitted pair is verified). Recall is the
-    standard SRP-LSH bound: a pair at cosine s agrees per-plane with
-    p = 1 - arccos(s)/pi, per-band with p^r, overall 1-(1-p^r)^b — at
-    near-dup thresholds (s >= 0.95, 4x4 bands) that is ~0.99; the exact
-    all-pairs operator `embedding_near_dup` is its audit oracle on samples.
-    """
+    """(vid, band_idx, band_key) hyperplane band signatures — the
+    write-signatures-once step of the embedding-LSH pipeline, row-local
+    (one BLAS matvec per Arrow batch, no shuffle). Unpersisted; callers
+    own the lifetime (pin inside one query, or the session artifact
+    cache)."""
     if n_planes % n_bands != 0:
         raise ValueError("n_bands must divide n_planes")
     r_bits = n_planes // n_bands
@@ -565,12 +574,51 @@ def embedding_near_dup_lsh(
                 {"vid": ids, "band_idx": band_idx, "band_key": band_key}
             )
 
-    # persisted: the band self-join reads it twice (the broadcast build
-    # side has no exchange to reuse, so without the cache the signature
-    # kernel — a full Arrow pass over the corpus — runs once per side)
-    banded = pin(emb.select(id_col, vec_col).mapInPandas(
+    return emb.select(id_col, vec_col).mapInPandas(
         sign_bands, f"vid {id_dtype}, band_idx int, band_key long"
-    ))
+    )
+
+
+def embedding_near_dup_lsh(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    round_decimals: int = 6,
+    banded: DataFrame | None = None,
+) -> DataFrame:
+    """The 100-TB path for embedding near-dup: random-hyperplane (SimHash
+    for vectors) blocking + exact verification of candidates only.
+
+    Each vector gets an n_planes-bit sign signature (one BLAS matvec
+    against the fixed Rademacher plane matrix, row-local); bands of
+    n_planes/n_bands bits become join keys; candidate pairs sharing any
+    band are verified with the exact dot >= threshold.
+
+    Precision is exact (every emitted pair is verified). Recall is the
+    standard SRP-LSH bound: a pair at cosine s agrees per-plane with
+    p = 1 - arccos(s)/pi, per-band with p^r, overall 1-(1-p^r)^b — at
+    near-dup thresholds (s >= 0.95, 4x4 bands) that is ~0.99; the exact
+    all-pairs operator `embedding_near_dup` is its audit oracle on samples.
+    """
+    if banded is None:
+        # built here and pinned: the band self-join reads it twice (the
+        # broadcast build side has no exchange to reuse, so without the
+        # cache the signature kernel — a full Arrow pass over the corpus —
+        # runs once per side). Pass a prebuilt, persisted table
+        # (artifacts.embedding_band_table) on serving paths.
+        banded = pin(
+            embedding_band_signatures(
+                emb,
+                id_col=id_col,
+                vec_col=vec_col,
+                n_planes=n_planes,
+                n_bands=n_bands,
+            )
+        )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -779,6 +827,7 @@ def dedup_components(
     n: int = 3,
     threshold: float = 0.5,
     max_df: int = 100,
+    shingle_index: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end fuzzy dedup: n-gram Jaccard pairs -> connected components
     -> canonical keep/drop. The full pipeline a pretraining corpus needs:
@@ -795,6 +844,7 @@ def dedup_components(
         threshold=threshold,
         max_df=max_df,
         sort=False,  # edges feed a shuffle immediately; the sort is waste
+        shingle_index=shingle_index,
     )
     comp = connected_components(docs.select(id_col), pairs, id_col=id_col)
     return comp.select(

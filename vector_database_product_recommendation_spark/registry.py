@@ -542,8 +542,13 @@ ORDER BY id_a, id_b
 
 @register("dedup_ngram_jaccard", _NGRAM_JACCARD_ORACLE)
 def _dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_database_product_recommendation_spark.artifacts import shingle_index
+
     return D.ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=0.5, max_df=100
+        load_table(spark, sf_dir, "documents"),
+        threshold=0.5,
+        max_df=100,
+        shingle_index=shingle_index(spark, sf_dir),
     )
 
 
@@ -604,7 +609,15 @@ ORDER BY id_a, id_b
 
 @register("dedup_minhash_lsh", _MINHASH_LSH_ORACLE)
 def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
+    from vector_database_product_recommendation_spark.artifacts import (
+        minhash_signature_table,
+    )
+
+    return D.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        threshold=0.5,
+        signatures=minhash_signature_table(spark, sf_dir),
+    )
 
 
 _SIMHASH_CTE = f"""
@@ -647,7 +660,15 @@ SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3 ORDER BY id_a, id_b
 
 @register("dedup_simhash", _SIMHASH_PAIRS_ORACLE)
 def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
+    from vector_database_product_recommendation_spark.artifacts import (
+        simhash_signature_table,
+    )
+
+    return D.simhash_pairs(
+        load_table(spark, sf_dir, "documents"),
+        max_hamming=3,
+        signatures=simhash_signature_table(spark, sf_dir),
+    )
 
 
 _EMB_NEAR_DUP_ORACLE = """
@@ -693,7 +714,12 @@ FROM reach GROUP BY u ORDER BY doc_id
 
 @register("dedup_components", _DEDUP_COMPONENTS_ORACLE)
 def _dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.dedup_components(load_table(spark, sf_dir, "documents"))
+    from vector_database_product_recommendation_spark.artifacts import shingle_index
+
+    return D.dedup_components(
+        load_table(spark, sf_dir, "documents"),
+        shingle_index=shingle_index(spark, sf_dir),
+    )
 
 
 # SQ8 scalar-quantized KNN (operators/sq.py) — floor/minmax arithmetic is
@@ -1190,8 +1216,14 @@ ORDER BY id_a, id_b
 
 @register("dedup_embedding_lsh", _EMB_LSH_ORACLE)
 def _dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_database_product_recommendation_spark.artifacts import (
+        embedding_band_table,
+    )
+
     return D.embedding_near_dup_lsh(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=0.4,
+        banded=embedding_band_table(spark, sf_dir),
     )
 
 
@@ -1760,9 +1792,11 @@ SELECT doc_id, fp FROM fp ORDER BY doc_id, fp
 
 @register("winnow_fingerprints", _WINNOW_SIG_ORACLE)
 def _winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from vector_database_product_recommendation_spark.operators.dedup import winnow_fingerprints_df
+    from vector_database_product_recommendation_spark.artifacts import (
+        winnow_fingerprint_table,
+    )
 
-    return winnow_fingerprints_df(load_table(spark, sf_dir, "documents"))
+    return winnow_fingerprint_table(spark, sf_dir).orderBy("doc_id", "fp")
 
 
 # Near-dup candidates: documents sharing >= 3 winnowing fingerprints
@@ -1781,16 +1815,14 @@ ORDER BY id_a, id_b
 
 @register("dedup_winnowing", _WINNOW_PAIRS_ORACLE)
 def _dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from vector_database_product_recommendation_spark.operators.dedup import winnow_fingerprints_df
+    # serves the persisted fingerprint artifact (it feeds the hot-fp cap
+    # AND both sides of the self-join; unsorted — everything downstream
+    # reshuffles anyway)
+    from vector_database_product_recommendation_spark.artifacts import (
+        winnow_fingerprint_table,
+    )
 
-    # query-local pin: feeds the hot-fp cap AND both sides of the self-join
-    # (the kernel would otherwise run three times); sort=False skips the
-    # presentation range-exchange — everything downstream reshuffles anyway
-    from vector_database_product_recommendation_spark.lifetime import pin
-
-    fp = pin(winnow_fingerprints_df(
-        load_table(spark, sf_dir, "documents"), sort=False
-    ))
+    fp = winnow_fingerprint_table(spark, sf_dir)
     cold = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= 100
     ).select("fp")
