@@ -770,12 +770,19 @@ def connected_components(
             return box[0]
         return df.agg(F.sum("label")).first()[0]
 
+    # Only vertices that appear in some edge can ever change labels or
+    # influence a neighbor; isolated vertices — the vast majority of a
+    # near-dup corpus — are their own components by definition and skip
+    # the iteration entirely. At scale this shrinks the per-round label
+    # table (the only relation that crosses exchanges each round) from
+    # |V| to |V_connected|; the isolated remainder is unioned back once
+    # at the end from the caller's vertex table (NOT from ``e``, which is
+    # unpersisted before return).
+    verts = vertices.select(F.col(id_col).cast("long").alias("u"))
     obs0 = Observation()
     labels = (
-        vertices.select(
-            F.col(id_col).cast("long").alias("u"),
-            F.col(id_col).cast("long").alias("label"),
-        )
+        verts.join(e.select("u").distinct(), "u", "left_semi")
+        .select("u", F.col("u").alias("label"))
         .observe(obs0, F.sum("label").alias("s"))
         .localCheckpoint(eager=True)
     )
@@ -816,7 +823,15 @@ def connected_components(
             "labels. The graph's diameter exceeds the round budget; raise "
             "max_iter (rounds needed ~ graph diameter)."
         )
-    return labels.select(F.col("u").alias("doc_id"), F.col("label").alias("component_id"))
+    # isolated vertices rejoin with label = own id; the anti-join keys off
+    # the CHECKPOINTED loop result, so the returned (lazy) plan never
+    # re-derives the unpersisted edge table
+    isolated = verts.join(labels.select("u"), "u", "left_anti").select(
+        "u", F.col("u").alias("label")
+    )
+    return labels.unionByName(isolated).select(
+        F.col("u").alias("doc_id"), F.col("label").alias("component_id")
+    )
 
 
 def dedup_components(
